@@ -1,0 +1,363 @@
+"""Noise schedules, SNR math, and samplers as pure JAX functions.
+
+TPU-native rebuild of the reference's scheduler stack:
+  * DDPM beta schedules + derived quantities
+    (diffusers DDPMScheduler semantics; reference uses DDPMScheduler with
+    ``trained_betas`` injected by the SNR shift — /root/reference/src/models/
+    mvd_unet.py:417-428).
+  * SNR computation and SNR->beta inversion
+    (reference: src/training/scheduler.py:16-58).
+  * ShiftSNR ("default" and "interpolated" modes)
+    (reference: src/training/scheduler.py:87-120).
+  * add_noise / get_velocity (diffusers DDPMScheduler.add_noise/get_velocity).
+  * DDPM and DDIM sampling steps as pure functions usable inside
+    ``lax.scan`` — no Python objects, no mutable state; everything is
+    computed from a ``NoiseSchedule`` pytree whose arrays live on device.
+
+Everything here is static-shape and jit-friendly: timesteps are traced
+int32 arrays, gather replaces fancy indexing, and there is no data-dependent
+control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Beta schedules
+# ---------------------------------------------------------------------------
+
+
+def make_betas(
+    num_train_timesteps: int = 1000,
+    beta_schedule: str = "scaled_linear",
+    beta_start: float = 0.00085,
+    beta_end: float = 0.012,
+    trained_betas: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Beta schedule, computed host-side in float64, returned float32.
+
+    Mirrors diffusers' DDPMScheduler constructor branches; the SD2.1
+    defaults are ``scaled_linear`` with (0.00085, 0.012, 1000).
+    """
+    if trained_betas is not None:
+        return np.asarray(trained_betas, dtype=np.float32)
+    if beta_schedule == "linear":
+        betas = np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float64)
+    elif beta_schedule == "scaled_linear":
+        betas = (
+            np.linspace(
+                beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float64
+            )
+            ** 2
+        )
+    elif beta_schedule == "squaredcos_cap_v2":
+        t = np.arange(num_train_timesteps, dtype=np.float64)
+        f = lambda s: np.cos((s / num_train_timesteps + 0.008) / 1.008 * np.pi / 2) ** 2
+        betas = np.clip(1.0 - f(t + 1) / f(t), 0.0, 0.999)
+    else:
+        raise ValueError(f"unknown beta_schedule: {beta_schedule}")
+    return betas.astype(np.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NoiseSchedule:
+    """Immutable pytree of schedule tensors (all shape ``[T]`` float32)."""
+
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    num_train_timesteps: int = dataclasses.field(metadata=dict(static=True), default=1000)
+    prediction_type: str = dataclasses.field(metadata=dict(static=True), default="v_prediction")
+    # diffusers parity knobs
+    steps_offset: int = dataclasses.field(metadata=dict(static=True), default=1)
+    timestep_spacing: str = dataclasses.field(metadata=dict(static=True), default="leading")
+    clip_sample: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    variance_type: str = dataclasses.field(metadata=dict(static=True), default="fixed_small")
+
+    @classmethod
+    def create(
+        cls,
+        betas: Optional[np.ndarray] = None,
+        num_train_timesteps: int = 1000,
+        beta_schedule: str = "scaled_linear",
+        beta_start: float = 0.00085,
+        beta_end: float = 0.012,
+        prediction_type: str = "v_prediction",
+        **kwargs,
+    ) -> "NoiseSchedule":
+        if betas is None:
+            betas = make_betas(
+                num_train_timesteps, beta_schedule, beta_start, beta_end
+            )
+        betas = jnp.asarray(betas, dtype=jnp.float32)
+        alphas = 1.0 - betas
+        alphas_cumprod = jnp.cumprod(alphas)
+        return cls(
+            betas=betas,
+            alphas_cumprod=alphas_cumprod,
+            num_train_timesteps=int(betas.shape[0]),
+            prediction_type=prediction_type,
+            **kwargs,
+        )
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1.0  # DDPM/DDIM: unit-variance initial latents
+
+
+# ---------------------------------------------------------------------------
+# SNR math (reference: src/training/scheduler.py:16-58)
+# ---------------------------------------------------------------------------
+
+
+def compute_snr(schedule: NoiseSchedule, timesteps: jnp.ndarray) -> jnp.ndarray:
+    """SNR_t = alpha_bar_t / (1 - alpha_bar_t), via the sqrt form used by
+    Min-SNR training (reference scheduler.py:32-58)."""
+    ac = schedule.alphas_cumprod[timesteps]
+    alpha = jnp.sqrt(ac)
+    sigma = jnp.sqrt(1.0 - ac)
+    return (alpha / sigma) ** 2
+
+
+def snr_to_betas(snr: jnp.ndarray) -> jnp.ndarray:
+    """Invert an SNR curve back to a beta schedule
+    (reference scheduler.py:16-29)."""
+    alphas_cumprod = snr / (1.0 + snr)
+    prev = jnp.concatenate([jnp.ones((1,), snr.dtype), alphas_cumprod[:-1]])
+    alphas = alphas_cumprod / prev
+    return 1.0 - alphas
+
+
+def shift_snr_betas(
+    schedule: NoiseSchedule,
+    shift_scale: float,
+    mode: str = "interpolated",
+) -> jnp.ndarray:
+    """ShiftSNR beta rewrite (reference scheduler.py:87-120).
+
+    ``default``: SNR / shift_scale everywhere.
+    ``interpolated``: log-space interpolation between the original and the
+    shifted SNR, weighted by t/(T-1) — low-noise timesteps keep the original
+    schedule, high-noise timesteps get the full shift.
+    """
+    t = jnp.arange(schedule.num_train_timesteps)
+    snr = compute_snr(schedule, t)
+    shifted = snr / shift_scale
+    if mode == "default":
+        return snr_to_betas(shifted)
+    if mode == "interpolated":
+        w = t.astype(jnp.float32) / (schedule.num_train_timesteps - 1)
+        interp = jnp.exp(jnp.log(snr) * (1.0 - w) + jnp.log(shifted) * w)
+        return snr_to_betas(interp)
+    raise ValueError(f"unknown shift mode: {mode}")
+
+
+def make_shifted_schedule(
+    base: NoiseSchedule, shift_scale: float = 6.0, mode: str = "interpolated"
+) -> NoiseSchedule:
+    """ShiftSNRScheduler.from_scheduler equivalent: a new schedule whose
+    betas encode the shifted SNR (reference mvd_unet.py:420-428 hardcodes
+    interpolated/6.0; here it is a real knob)."""
+    betas = shift_snr_betas(base, shift_scale, mode)
+    return NoiseSchedule.create(
+        betas=np.asarray(betas),
+        prediction_type=base.prediction_type,
+        steps_offset=base.steps_offset,
+        timestep_spacing=base.timestep_spacing,
+        clip_sample=base.clip_sample,
+        variance_type=base.variance_type,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward process
+# ---------------------------------------------------------------------------
+
+
+def _gather_sqrt_ac(schedule: NoiseSchedule, timesteps, ndim: int):
+    ac = schedule.alphas_cumprod[timesteps].astype(jnp.float32)
+    shape = timesteps.shape + (1,) * (ndim - timesteps.ndim)
+    ac = ac.reshape(shape)
+    return jnp.sqrt(ac), jnp.sqrt(1.0 - ac)
+
+
+def add_noise(
+    schedule: NoiseSchedule,
+    sample: jnp.ndarray,
+    noise: jnp.ndarray,
+    timesteps: jnp.ndarray,
+) -> jnp.ndarray:
+    """x_t = sqrt(a_bar) x_0 + sqrt(1-a_bar) eps (DDPMScheduler.add_noise)."""
+    sa, so = _gather_sqrt_ac(schedule, timesteps, sample.ndim)
+    return (sa * sample + so * noise).astype(sample.dtype)
+
+
+def get_velocity(
+    schedule: NoiseSchedule,
+    sample: jnp.ndarray,
+    noise: jnp.ndarray,
+    timesteps: jnp.ndarray,
+) -> jnp.ndarray:
+    """v = sqrt(a_bar) eps - sqrt(1-a_bar) x_0 (DDPMScheduler.get_velocity)."""
+    sa, so = _gather_sqrt_ac(schedule, timesteps, sample.ndim)
+    return (sa * noise - so * sample).astype(sample.dtype)
+
+
+def pred_original_sample(
+    schedule: NoiseSchedule,
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+    timesteps: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reconstruct x0-hat for any prediction type (reference
+    losses.py:209-234 and diffusers step())."""
+    sa, so = _gather_sqrt_ac(schedule, timesteps, sample.ndim)
+    p = schedule.prediction_type
+    if p == "epsilon":
+        return (sample - so * model_output) / sa
+    if p == "v_prediction":
+        return sa * sample - so * model_output
+    if p == "sample":
+        return model_output
+    raise ValueError(f"unknown prediction_type: {p}")
+
+
+def pred_epsilon(
+    schedule: NoiseSchedule,
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+    timesteps: jnp.ndarray,
+) -> jnp.ndarray:
+    sa, so = _gather_sqrt_ac(schedule, timesteps, sample.ndim)
+    p = schedule.prediction_type
+    if p == "epsilon":
+        return model_output
+    if p == "v_prediction":
+        return sa * model_output + so * sample
+    if p == "sample":
+        return (sample - sa * model_output) / so
+    raise ValueError(f"unknown prediction_type: {p}")
+
+
+# ---------------------------------------------------------------------------
+# Inference timestep grids
+# ---------------------------------------------------------------------------
+
+
+def inference_timesteps(
+    schedule: NoiseSchedule, num_inference_steps: int
+) -> np.ndarray:
+    """Descending int32 timestep grid (host-side, static) matching diffusers
+    'leading' spacing with steps_offset."""
+    T = schedule.num_train_timesteps
+    if schedule.timestep_spacing == "leading":
+        ratio = T // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * ratio).round()[::-1].astype(np.int64)
+        ts = ts + schedule.steps_offset
+    elif schedule.timestep_spacing == "trailing":
+        ratio = T / num_inference_steps
+        ts = np.round(np.arange(T, 0, -ratio)).astype(np.int64) - 1
+    else:  # linspace
+        ts = np.linspace(0, T - 1, num_inference_steps).round()[::-1].astype(np.int64)
+    return np.clip(ts, 0, T - 1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Reverse (sampling) steps — pure, scan-friendly
+# ---------------------------------------------------------------------------
+
+
+def _clip(schedule: NoiseSchedule, x):
+    if schedule.clip_sample:
+        return jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+def ddpm_step(
+    schedule: NoiseSchedule,
+    model_output: jnp.ndarray,
+    timestep: jnp.ndarray,
+    sample: jnp.ndarray,
+    rng: jax.Array,
+    num_inference_steps: int,
+) -> jnp.ndarray:
+    """One stochastic ancestral DDPM step (diffusers DDPMScheduler.step with
+    variance_type='fixed_small'). ``timestep`` is a traced scalar so the whole
+    denoise loop can be a single ``lax.scan``."""
+    T = schedule.num_train_timesteps
+    prev_t = timestep - T // num_inference_steps
+
+    ac_t = schedule.alphas_cumprod[timestep]
+    ac_prev = jnp.where(prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
+    beta_prod_t = 1.0 - ac_t
+    beta_prod_prev = 1.0 - ac_prev
+    alpha_t = ac_t / ac_prev  # current (effective) alpha
+    beta_t = 1.0 - alpha_t
+
+    x0 = _clip(schedule, pred_original_sample(schedule, model_output, sample, timestep))
+
+    # mu_t coefficients (DDPM eq. 7)
+    x0_coeff = jnp.sqrt(ac_prev) * beta_t / beta_prod_t
+    xt_coeff = jnp.sqrt(alpha_t) * beta_prod_prev / beta_prod_t
+    prev_sample = x0_coeff * x0 + xt_coeff * sample
+
+    # fixed_small variance, only when prev_t >= 0 and t > 0
+    variance = jnp.clip(beta_prod_prev / beta_prod_t * beta_t, 1e-20, None)
+    noise = jax.random.normal(rng, sample.shape, dtype=jnp.float32)
+    add = jnp.where(timestep > 0, jnp.sqrt(variance), 0.0)
+    return (prev_sample + add * noise).astype(sample.dtype)
+
+
+def ddim_step(
+    schedule: NoiseSchedule,
+    model_output: jnp.ndarray,
+    timestep: jnp.ndarray,
+    sample: jnp.ndarray,
+    num_inference_steps: int,
+    eta: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """One DDIM step (eta=0 deterministic; diffusers DDIMScheduler.step)."""
+    T = schedule.num_train_timesteps
+    prev_t = timestep - T // num_inference_steps
+    ac_t = schedule.alphas_cumprod[timestep]
+    ac_prev = jnp.where(prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
+
+    x0 = _clip(schedule, pred_original_sample(schedule, model_output, sample, timestep))
+    eps = pred_epsilon(schedule, model_output, sample, timestep)
+
+    if eta > 0.0:
+        var = (1 - ac_prev) / (1 - ac_t) * (1 - ac_t / ac_prev)
+        sigma = eta * jnp.sqrt(var)
+    else:
+        sigma = 0.0
+    dir_xt = jnp.sqrt(1.0 - ac_prev - sigma**2) * eps
+    prev_sample = jnp.sqrt(ac_prev) * x0 + dir_xt
+    if eta > 0.0:
+        assert rng is not None
+        prev_sample = prev_sample + sigma * jax.random.normal(
+            rng, sample.shape, dtype=jnp.float32
+        )
+    return prev_sample.astype(sample.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Min-SNR loss weighting (reference: src/training/losses.py:174-196)
+# ---------------------------------------------------------------------------
+
+
+def min_snr_weight(
+    schedule: NoiseSchedule, timesteps: jnp.ndarray, gamma: float = 5.0
+) -> jnp.ndarray:
+    """w_t = min(SNR_t, gamma) / SNR_t (Min-SNR paper §3.4; the reference
+    hardcodes gamma=5.0 at losses.py:175 — here it is a real knob)."""
+    snr = compute_snr(schedule, timesteps)
+    return jnp.minimum(snr, gamma) / snr
