@@ -1,0 +1,344 @@
+"""Pallas TPU flash attention for the diffusion UNet.
+
+Replaces the reference's CUDA fused attention
+(``F.scaled_dot_product_attention``, reference src/models/attention.py:148-150
+and diffusers' memory-efficient attention, mvd_unet.py:39) with a TPU-native
+online-softmax kernel:
+
+  * forward: tiled over (batch*heads, q-blocks), K/V streamed through VMEM,
+    f32 accumulation on the MXU, no materialized S×S attention matrix;
+  * backward: custom VJP with a recomputation-based kernel (dq in one pass,
+    dk/dv in a second pass tiled over k-blocks) — the standard flash
+    backward, so training never materializes attention either;
+  * no masking — diffusion self/cross attention is full (non-causal), which
+    keeps both kernels branch-free.
+
+Layout: (B, H, S, D) with D the lane dimension (64 for SD2.1 heads). Falls
+back to a pure-XLA attention for tiny sequences (where kernel launch +
+padding overhead beats the win) and on non-TPU backends; the fallback is also
+the numerical reference for the kernel's unit tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Sequences shorter than this run the XLA path: one MXU-tile worth of rows.
+_MIN_PALLAS_SEQ = 1024
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+# ---------------------------------------------------------------------------
+# Reference / fallback implementation (also used on CPU and for tests)
+# ---------------------------------------------------------------------------
+
+
+def xla_attention(q, k, v, scale=None):
+    """Plain attention, f32 softmax accumulation. q,k,v: (B, H, S, D)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
+    """One (bh, q-block) program: stream K/V blocks, online softmax."""
+    q = q_ref[0].astype(jnp.float32)  # (bq, d)
+    bq = q.shape[0]
+    nk = _cdiv(kv_len, block_k)
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        s = s * scale
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    d = q_ref.shape[-1]
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+    lse_ref[0] = (m_i + jnp.log(l_i))[:, 0]
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    bh = B * H
+    q = q.reshape(bh, Sq, D)
+    k = k.reshape(bh, Sk, D)
+    v = v.reshape(bh, Sk, D)
+
+    block_q = min(block_q, Sq)
+    block_k = min(block_k, Sk)
+    grid = (bh, _cdiv(Sq, block_q))
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, kv_len=Sk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((bh, Sq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out.reshape(B, H, Sq, D), lse.reshape(B, H, Sq)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, kv_len
+):
+    """dq for one (bh, q-block): dq = sum_k (P * (dO V^T - delta)) K * scale."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    nk = _cdiv(kv_len, block_k)
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros_like(q))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, q_len
+):
+    """dk/dv for one (bh, k-block): stream q-blocks."""
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    nq = _cdiv(q_len, block_q)
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)  # (bq, bk)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk0 = jnp.zeros_like(k)
+    dv0 = jnp.zeros_like(v)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v, out, lse = res
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    bh = B * H
+    do = g
+
+    # delta_i = sum_d dO_i * O_i  (rowwise) — cheap, do it in XLA.
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    qr = q.reshape(bh, Sq, D)
+    kr = k.reshape(bh, Sk, D)
+    vr = v.reshape(bh, Sk, D)
+    dor = do.reshape(bh, Sq, D)
+    lser = lse.reshape(bh, Sq)
+    deltar = delta.reshape(bh, Sq)
+
+    bq = min(block_q, Sq)
+    bk = min(block_k, Sk)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk, kv_len=Sk),
+        grid=(bh, _cdiv(Sq, bq)),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, Sq, D), q.dtype),
+        interpret=interpret,
+    )(qr, kr, vr, dor, lser, deltar)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=bq, q_len=Sq),
+        grid=(bh, _cdiv(Sk, bk)),
+        in_specs=[
+            pl.BlockSpec((1, Sq, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Sq, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Sq), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, Sq), lambda b, i: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((bh, Sk, D), v.dtype),
+        ],
+        interpret=interpret,
+    )(qr, kr, vr, dor, lser, deltar)
+
+    return (
+        dq.reshape(B, H, Sq, D),
+        dk.reshape(B, H, Sk, D),
+        dv.reshape(B, H, Sk, D),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention(q, k, v, scale, block_q, block_k, interpret):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_bwd(scale, block_q, block_k, interpret, res, g):
+    return _flash_bwd(scale, block_q, block_k, interpret, res, g)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention on (B, H, S, D); differentiable; full (non-causal)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    block_q = min(block_q, q.shape[2])
+    block_k = min(block_k, k.shape[2])
+    if q.shape[2] % block_q or k.shape[2] % block_k:
+        raise ValueError(
+            f"flash_attention requires seq lens divisible by block sizes: "
+            f"Sq={q.shape[2]} bq={block_q}, Sk={k.shape[2]} bk={block_k}"
+        )
+    return _flash_attention(q, k, v, float(scale), block_q, block_k, interpret)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    impl: str = "auto",
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Dispatch: ``pallas`` flash kernel on TPU for long sequences, XLA
+    otherwise. ``impl`` in {auto, xla, pallas, pallas_interpret}."""
+    if impl == "xla":
+        return xla_attention(q, k, v, scale)
+    if impl == "pallas":
+        return flash_attention(q, k, v, scale)
+    if impl == "pallas_interpret":
+        return flash_attention(q, k, v, scale, interpret=True)
+    # auto
+    on_tpu = jax.default_backend() == "tpu"
+    Sq, Sk = q.shape[2], k.shape[2]
+
+    def _best_block(s, target=512, minimum=128):
+        for b in range(min(target, s), minimum - 1, -1):
+            if s % b == 0 and b % 128 == 0:
+                return b
+        return None
+
+    if on_tpu and Sq >= _MIN_PALLAS_SEQ and Sk >= 128:
+        bq, bk = _best_block(Sq), _best_block(Sk)
+        if bq is not None and bk is not None:
+            return flash_attention(q, k, v, scale, block_q=bq, block_k=bk)
+    return xla_attention(q, k, v, scale)

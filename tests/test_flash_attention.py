@@ -1,0 +1,58 @@
+"""Flash-attention kernel parity vs the XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvd_tpu.kernels.flash_attention import flash_attention, xla_attention
+
+
+def make_qkv(key, B=1, H=2, Sq=256, Sk=256, D=64, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, Sq, D), dtype)
+    k = jax.random.normal(kk, (B, H, Sk, D), dtype)
+    v = jax.random.normal(kv, (B, H, Sk, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (256, 128), (384, 256)])
+def test_forward_matches_xla(sq, sk):
+    q, k, v = make_qkv(jax.random.PRNGKey(0), Sq=sq, Sk=sk)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_forward_uneven_kv_blocks():
+    # kv_len not a multiple of block_k exercises the fori_loop tail handling
+    q, k, v = make_qkv(jax.random.PRNGKey(1), Sq=128, Sk=256)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_gradients_match_xla():
+    q, k, v = make_qkv(jax.random.PRNGKey(2), B=1, H=1, Sq=128, Sk=128)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
+        )
+
+
+def test_scale_override():
+    q, k, v = make_qkv(jax.random.PRNGKey(3), Sq=128, Sk=128)
+    want = xla_attention(q, k, v, scale=0.5)
+    got = flash_attention(q, k, v, scale=0.5, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
