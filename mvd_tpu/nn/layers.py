@@ -1,0 +1,331 @@
+"""Core Flax building blocks for the SD2.1-class UNet and VAE.
+
+TPU-native notes:
+  * layout is NHWC end-to-end (TPU conv-friendly; torch NCHW weights are
+    transposed by the checkpoint converter),
+  * params are float32, compute dtype is a knob (bf16 on TPU),
+  * GroupNorm/LayerNorm/softmax accumulate in float32,
+  * attention dispatches to the Pallas flash kernel on TPU
+    (mvd_tpu/kernels/flash_attention.py) and XLA elsewhere.
+
+Architecture matches diffusers' UNet2DConditionModel /AutoencoderKL modules
+used by the reference (loaded at /root/reference/src/models/mvd_unet.py:46-52)
+so that the weight converter is a pure renaming + transpose.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..kernels.flash_attention import attention as attention_dispatch
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers ``get_timestep_embedding``
+    semantics; SD uses flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class TimestepEmbedMLP(nn.Module):
+    """time_embedding: Linear -> SiLU -> Linear (320 -> 1280 -> 1280)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with float32 statistics regardless of compute dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def normalize_ref_feature(feat: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Adapter K/V pre-normalization (reference attention.py:95-103).
+
+    The reference normalizes the raw 4D NCHW feature over dims (batch,
+    channel) with an unbiased std, clamps the std, and rescales by 0.5 —
+    under no_grad. In NHWC the equivalent axes are (0, 3); gradients are
+    stopped to match.
+    """
+    feat = jax.lax.stop_gradient(feat).astype(jnp.float32)
+    mean = feat.mean(axis=(0, 3), keepdims=True)
+    n = feat.shape[0] * feat.shape[3]
+    var = ((feat - mean) ** 2).sum(axis=(0, 3), keepdims=True) / max(n - 1, 1)
+    std = jnp.maximum(jnp.sqrt(var), eps)
+    return (feat - mean) / std * 0.5
+
+
+class CrossViewAdapter(nn.Module):
+    """Image cross-attention adapter (reference attention.py:12-197).
+
+    Queries come from the current view's (pre-normed) hidden states, keys and
+    values from the frozen feature extractor's output for the same layer.
+    Output is scaled by ``ref_scale`` and added to the base attention output
+    by the caller. ``to_q_ref``/``to_k_ref``/``to_v_ref`` are bias-free,
+    ``to_out_ref`` has bias, matching the reference's trainable adapter.
+    """
+
+    heads: int
+    head_dim: int
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+        B, S, D = hidden.shape
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q_ref")(hidden)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ref")(
+            ref.astype(hidden.dtype)
+        )
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ref")(
+            ref.astype(hidden.dtype)
+        )
+        Sk = ref.shape[1]
+        q = q.reshape(B, S, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        out = attention_dispatch(q, k, v, impl=self.attention_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+        out = nn.Dense(D, dtype=self.dtype, name="to_out_ref")(out)
+        return out
+
+
+class Attention(nn.Module):
+    """Multi-head attention: self (context=None) or cross."""
+
+    heads: int
+    head_dim: int
+    attention_impl: str = "auto"
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, context: Optional[jnp.ndarray] = None):
+        B, S, D = hidden.shape
+        ctx = hidden if context is None else context.astype(hidden.dtype)
+        Sk = ctx.shape[1]
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = q.reshape(B, S, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        out = attention_dispatch(q, k, v, impl=self.attention_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+        out = nn.Dense(self.out_dim or D, dtype=self.dtype, name="to_out")(out)
+        return out
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (dim -> 4*dim gated -> dim)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_geglu")(x)
+        a, gate = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, each residual.
+
+    When adapters are enabled and a reference feature is provided, the
+    adapter contribution (scaled by ``ref_scale``) is added to the base
+    attention output before the residual add — the explicit-dataflow
+    equivalent of the reference's processor wrapping
+    (attention.py:62-188)."""
+
+    heads: int
+    head_dim: int
+    with_adapters: bool = False
+    ref_scale: float = 0.3
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, ref: Optional[jnp.ndarray] = None):
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name
+        )
+        kw = dict(
+            heads=self.heads,
+            head_dim=self.head_dim,
+            attention_impl=self.attention_impl,
+            dtype=self.dtype,
+        )
+
+        h = ln("norm1")(x).astype(x.dtype)
+        a = Attention(**kw, name="attn1")(h)
+        if self.with_adapters:
+            adapter = CrossViewAdapter(**kw, name="adapter_self")
+            if ref is not None:
+                a = a + self.ref_scale * adapter(h, ref)
+            else:
+                # keep params materialized for checkpoint-shape stability
+                _ = adapter(h[:, :1], h[:, :1]) * 0.0
+        x = x + a
+
+        h = ln("norm2")(x).astype(x.dtype)
+        a = Attention(**kw, name="attn2")(h, context)
+        if self.with_adapters:
+            adapter = CrossViewAdapter(**kw, name="adapter_cross")
+            if ref is not None:
+                a = a + self.ref_scale * adapter(h, ref)
+            else:
+                _ = adapter(h[:, :1], h[:, :1]) * 0.0
+        x = x + a
+
+        h = ln("norm3")(x).astype(x.dtype)
+        x = x + FeedForward(dim=x.shape[-1], dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """diffusers Transformer2DModel with use_linear_projection=True
+    (SD2.x): GroupNorm -> linear proj_in -> transformer blocks -> linear
+    proj_out -> residual."""
+
+    heads: int
+    head_dim: int
+    num_layers: int = 1
+    norm_num_groups: int = 32
+    with_adapters: bool = False
+    ref_scale: float = 0.3
+    attention_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, ref: Optional[jnp.ndarray] = None):
+        B, H, W, C = x.shape
+        residual = x
+        h = GroupNorm(self.norm_num_groups, 1e-6, name="norm")(x)
+        h = h.reshape(B, H * W, C)
+        h = nn.Dense(self.heads * self.head_dim, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.num_layers):
+            h = BasicTransformerBlock(
+                heads=self.heads,
+                head_dim=self.head_dim,
+                with_adapters=self.with_adapters,
+                ref_scale=self.ref_scale,
+                attention_impl=self.attention_impl,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, context, ref)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        return h.reshape(B, H, W, C) + residual
+
+
+class ResnetBlock(nn.Module):
+    """SD ResnetBlock2D: pre-norm, SiLU, 3x3 convs, additive time embedding,
+    1x1 shortcut on channel change."""
+
+    out_channels: int
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    use_temb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jnp.ndarray] = None):
+        in_ch = x.shape[-1]
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        )(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :].astype(h.dtype)
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        )(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    """3x3 stride-2 conv; ``asymmetric_pad`` matches the VAE encoder's
+    (0,1)x(0,1) padding, the UNet uses symmetric padding=1."""
+
+    out_channels: int
+    asymmetric_pad: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.asymmetric_pad:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = "VALID"
+        else:
+            pad = 1
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=2, padding=pad, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 then 3x3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv"
+        )(x)

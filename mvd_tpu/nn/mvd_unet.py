@@ -1,0 +1,129 @@
+"""Multi-view UNet composition: camera FiLM + image cross-attention adapters.
+
+The TPU-native equivalent of reference src/models/mvd_unet.py:22-385, with
+the reference's runtime machinery (forward hooks, processor swapping,
+mutable feature dicts, kwargs side-channels) replaced by explicit dataflow:
+
+  1. camera conditioning: ``CameraEncoder`` turns the relative source->target
+     transform into an embedding + per-block FiLM params (reference
+     mvd_unet.py:241-258); the "output" modulator hits the input latents.
+  2. image conditioning: the SAME UNet function is run over the source-view
+     latents at timestep 0 with conditioning off; its returned per-layer
+     features (the reference's hook captures, image_encoder.py:36-84) are
+     normalized (attention.py:95-103) and fed to the per-layer adapters.
+     With the (default) frozen base UNet this eliminates the reference's
+     duplicated ~866M-param ImageEncoder copy; set
+     ``share_image_encoder=False`` to keep a separate frozen copy when
+     fine-tuning the denoising UNet.
+  3. denoising pass: UNet with cross-attention text context, adapter
+     features, and FiLM params.
+
+CFG note: the reference crashes if classifier-free guidance is combined with
+image/camera conditioning (features with batch B meet latents with batch 2B
+inside SDPA); it never hits this because its default guidance_scale is 1.0.
+Here conditioning tensors are tiled across the CFG factor instead, making
+guidance > 1 actually usable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from .camera_encoder import CameraEncoder, modulation_dims
+from .layers import normalize_ref_feature
+from .unet import UNet2DCondition
+
+
+class MultiViewUNet(nn.Module):
+    cfg: ModelConfig
+    share_image_encoder: bool = True
+
+    def setup(self):
+        dtype = jnp.dtype(self.cfg.dtype)
+        self._dtype = dtype
+        self.unet = UNet2DCondition(self.cfg.unet, dtype=dtype, name="unet")
+        if self.cfg.use_image_conditioning and not self.share_image_encoder:
+            self.image_encoder_unet = UNet2DCondition(
+                self.cfg.unet, dtype=dtype, name="image_encoder_unet"
+            )
+        if self.cfg.use_camera_conditioning:
+            dims = modulation_dims(
+                self.cfg.unet.block_out_channels,
+                num_down=len(self.cfg.unet.down_block_types),
+                num_up=len(self.cfg.unet.up_block_types),
+            )
+            self.camera_encoder = CameraEncoder(
+                self.cfg.camera_encoder,
+                modulation_hidden_dims=tuple(sorted(dims.items())),
+                dtype=dtype,
+                name="camera_encoder",
+            )
+
+    def extract_features(
+        self, source_latents: jnp.ndarray, encoder_hidden_states: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """Frozen-encoder pass: full UNet at t=0, features only
+        (reference image_encoder.py:97-112)."""
+        enc = (
+            self.unet
+            if self.share_image_encoder
+            else self.image_encoder_unet
+        )
+        t0 = jnp.zeros((source_latents.shape[0],), jnp.int32)
+        _, feats = enc(source_latents, t0, encoder_hidden_states)
+        return feats
+
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B*, h, w, 4) NHWC; B* = B or 2B under CFG
+        timestep: jnp.ndarray,  # () or (B*,)
+        encoder_hidden_states: jnp.ndarray,  # (B or B*, 77, D)
+        source_camera: Optional[jnp.ndarray] = None,  # (B, 4, 4)
+        target_camera: Optional[jnp.ndarray] = None,
+        source_image_latents: Optional[jnp.ndarray] = None,  # (B, h, w, 4)
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        Bs = sample.shape[0]
+
+        # CFG text repeat (reference mvd_unet.py:233-237)
+        if encoder_hidden_states.shape[0] < Bs:
+            rep = Bs // encoder_hidden_states.shape[0]
+            encoder_hidden_states = jnp.concatenate([encoder_hidden_states] * rep, 0)
+
+        film = None
+        if cfg.use_camera_conditioning and target_camera is not None:
+            assert source_camera is not None
+            _, film = self.camera_encoder(source_camera, target_camera)
+            cam_b = source_camera.shape[0]
+            if cam_b < Bs:  # tile FiLM params across the CFG factor
+                rep = Bs // cam_b
+                film = {
+                    k: (jnp.concatenate([s] * rep, 0), jnp.concatenate([sh] * rep, 0))
+                    for k, (s, sh) in film.items()
+                }
+
+        ref_features = None
+        if cfg.use_image_conditioning and source_image_latents is not None:
+            b = source_image_latents.shape[0]
+            # conditional half of the text context (mvd_unet.py:281-285)
+            if encoder_hidden_states.shape[0] == 2 * b:
+                enc_text = encoder_hidden_states[b:]
+            else:
+                enc_text = encoder_hidden_states[:b]
+            feats = self.extract_features(source_image_latents, enc_text)
+            ref_features = {}
+            for name, f in feats.items():
+                f = normalize_ref_feature(f)  # (b, H, W, C), f32
+                f = f.reshape(b, -1, f.shape[-1])
+                if b < Bs:
+                    f = jnp.concatenate([f] * (Bs // b), 0)
+                ref_features[name] = f
+
+        out, _ = self.unet(
+            sample, timestep, encoder_hidden_states, ref_features=ref_features, film=film
+        )
+        return out
