@@ -189,7 +189,13 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, ref: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x,
+        context,
+        ref: Optional[jnp.ndarray] = None,
+        ref_scale: Optional[jnp.ndarray] = None,
+    ):
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name
         )
@@ -199,13 +205,16 @@ class BasicTransformerBlock(nn.Module):
             attention_impl=self.attention_impl,
             dtype=self.dtype,
         )
+        # runtime-overridable adapter scale (the reference uses 0.3 at train,
+        # 0.1 at validation, 1.0 at infer — a traced scalar avoids recompiles)
+        scale = self.ref_scale if ref_scale is None else ref_scale
 
         h = ln("norm1")(x).astype(x.dtype)
         a = Attention(**kw, name="attn1")(h)
         if self.with_adapters:
             adapter = CrossViewAdapter(**kw, name="adapter_self")
             if ref is not None:
-                a = a + self.ref_scale * adapter(h, ref)
+                a = a + scale * adapter(h, ref)
             else:
                 # keep params materialized for checkpoint-shape stability
                 _ = adapter(h[:, :1], h[:, :1]) * 0.0
@@ -216,7 +225,7 @@ class BasicTransformerBlock(nn.Module):
         if self.with_adapters:
             adapter = CrossViewAdapter(**kw, name="adapter_cross")
             if ref is not None:
-                a = a + self.ref_scale * adapter(h, ref)
+                a = a + scale * adapter(h, ref)
             else:
                 _ = adapter(h[:, :1], h[:, :1]) * 0.0
         x = x + a
@@ -241,7 +250,13 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, ref: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x,
+        context,
+        ref: Optional[jnp.ndarray] = None,
+        ref_scale: Optional[jnp.ndarray] = None,
+    ):
         B, H, W, C = x.shape
         residual = x
         h = GroupNorm(self.norm_num_groups, 1e-6, name="norm")(x)
@@ -256,7 +271,7 @@ class Transformer2D(nn.Module):
                 attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
-            )(h, context, ref)
+            )(h, context, ref, ref_scale)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(B, H, W, C) + residual
 

@@ -77,30 +77,28 @@ class MultiViewUNet(nn.Module):
         _, feats = enc(source_latents, t0, encoder_hidden_states)
         return feats
 
-    def __call__(
+    def prepare_conditioning(
         self,
-        sample: jnp.ndarray,  # (B*, h, w, 4) NHWC; B* = B or 2B under CFG
-        timestep: jnp.ndarray,  # () or (B*,)
         encoder_hidden_states: jnp.ndarray,  # (B or B*, 77, D)
         source_camera: Optional[jnp.ndarray] = None,  # (B, 4, 4)
         target_camera: Optional[jnp.ndarray] = None,
         source_image_latents: Optional[jnp.ndarray] = None,  # (B, h, w, 4)
-    ) -> jnp.ndarray:
+        cfg_batch: Optional[int] = None,  # B* (2B under CFG); None -> cond batch
+    ):
+        """Compute all step-invariant conditioning ONCE: FiLM params from the
+        cameras and normalized per-layer reference features from the source
+        view. The reference recomputes the full frozen-UNet feature pass at
+        EVERY denoising step (mvd_unet.py:269-316 called per step from
+        pipeline.py:146-152) even though latents/t=0/text are constant; the
+        TPU pipeline hoists it out of the ``lax.scan``."""
         cfg = self.cfg
-        Bs = sample.shape[0]
-
-        # CFG text repeat (reference mvd_unet.py:233-237)
-        if encoder_hidden_states.shape[0] < Bs:
-            rep = Bs // encoder_hidden_states.shape[0]
-            encoder_hidden_states = jnp.concatenate([encoder_hidden_states] * rep, 0)
-
         film = None
         if cfg.use_camera_conditioning and target_camera is not None:
             assert source_camera is not None
             _, film = self.camera_encoder(source_camera, target_camera)
             cam_b = source_camera.shape[0]
-            if cam_b < Bs:  # tile FiLM params across the CFG factor
-                rep = Bs // cam_b
+            if cfg_batch is not None and cam_b < cfg_batch:
+                rep = cfg_batch // cam_b
                 film = {
                     k: (jnp.concatenate([s] * rep, 0), jnp.concatenate([sh] * rep, 0))
                     for k, (s, sh) in film.items()
@@ -119,11 +117,56 @@ class MultiViewUNet(nn.Module):
             for name, f in feats.items():
                 f = normalize_ref_feature(f)  # (b, H, W, C), f32
                 f = f.reshape(b, -1, f.shape[-1])
-                if b < Bs:
-                    f = jnp.concatenate([f] * (Bs // b), 0)
+                if cfg_batch is not None and b < cfg_batch:
+                    f = jnp.concatenate([f] * (cfg_batch // b), 0)
                 ref_features[name] = f
+        return film, ref_features
 
+    def denoise(
+        self,
+        sample: jnp.ndarray,
+        timestep: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        film=None,
+        ref_features=None,
+        ref_scale: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """One UNet evaluation with precomputed conditioning."""
+        Bs = sample.shape[0]
+        if encoder_hidden_states.shape[0] < Bs:  # CFG text repeat
+            rep = Bs // encoder_hidden_states.shape[0]
+            encoder_hidden_states = jnp.concatenate([encoder_hidden_states] * rep, 0)
         out, _ = self.unet(
-            sample, timestep, encoder_hidden_states, ref_features=ref_features, film=film
+            sample,
+            timestep,
+            encoder_hidden_states,
+            ref_features=ref_features,
+            film=film,
+            ref_scale=ref_scale,
         )
         return out
+
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B*, h, w, 4) NHWC; B* = B or 2B under CFG
+        timestep: jnp.ndarray,  # () or (B*,)
+        encoder_hidden_states: jnp.ndarray,  # (B or B*, 77, D)
+        source_camera: Optional[jnp.ndarray] = None,  # (B, 4, 4)
+        target_camera: Optional[jnp.ndarray] = None,
+        source_image_latents: Optional[jnp.ndarray] = None,  # (B, h, w, 4)
+        ref_scale: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        Bs = sample.shape[0]
+        if encoder_hidden_states.shape[0] < Bs:  # CFG text repeat
+            rep = Bs // encoder_hidden_states.shape[0]
+            encoder_hidden_states = jnp.concatenate([encoder_hidden_states] * rep, 0)
+        film, ref_features = self.prepare_conditioning(
+            encoder_hidden_states,
+            source_camera,
+            target_camera,
+            source_image_latents,
+            cfg_batch=Bs,
+        )
+        return self.denoise(
+            sample, timestep, encoder_hidden_states, film, ref_features, ref_scale
+        )

@@ -68,6 +68,7 @@ class UNet2DCondition(nn.Module):
         encoder_hidden_states: jnp.ndarray,  # (B, 77, 1024)
         ref_features: Optional[Features] = None,
         film: Optional[Film] = None,
+        ref_scale: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Features]:
         cfg = self.cfg
         B = sample.shape[0]
@@ -127,7 +128,9 @@ class UNet2DCondition(nn.Module):
                 )(h, temb)
                 if has_attn:
                     fname = f"down_block_{i}_attn_{j}"
-                    h = make_attn(i, f"down_{i}_attn_{j}")(h, ctx, get_ref(fname))
+                    h = make_attn(i, f"down_{i}_attn_{j}")(
+                        h, ctx, get_ref(fname), ref_scale
+                    )
                     features[fname] = h
                 residuals.append(h)
             if i < len(cfg.down_block_types) - 1:
@@ -146,7 +149,7 @@ class UNet2DCondition(nn.Module):
         )(h, temb)
         fname = "mid_block_attn_0"
         h = make_attn(len(cfg.block_out_channels) - 1, "mid_attn_0")(
-            h, ctx, get_ref(fname)
+            h, ctx, get_ref(fname), ref_scale
         )
         features[fname] = h
         h = ResBlock(
@@ -177,7 +180,7 @@ class UNet2DCondition(nn.Module):
                 if has_attn:
                     fname = f"up_block_{i}_attn_{j}"
                     h = make_attn(attn_block_index, f"up_{i}_attn_{j}")(
-                        h, ctx, get_ref(fname)
+                        h, ctx, get_ref(fname), ref_scale
                     )
                     features[fname] = h
             if i < len(cfg.up_block_types) - 1:

@@ -1,0 +1,294 @@
+"""MVD generation pipeline: text -> multi-view images, fully jit-compiled.
+
+TPU-native rebuild of reference src/models/pipeline.py:10-186 (an eager
+Python loop over ``scheduler.step``) as ONE compiled program:
+
+  * CLIP text encode, CFG concat (uncond first — pipeline.py:79),
+  * VAE-encode of the source view (+ scaling factor, pipeline.py:115-116),
+  * step-invariant conditioning (camera FiLM + adapter features) hoisted out
+    of the loop — the reference recomputes the frozen feature-extractor UNet
+    at every step,
+  * the denoising loop as ``lax.scan`` over the timestep grid with the DDPM
+    (ancestral, fixed_small) or DDIM step, CFG combine inside the scan,
+  * VAE decode + (x/2+0.5).clamp(0,1) (pipeline.py:171-176).
+
+One compiled function per static shape signature (batch, resolution, steps,
+guidance on/off, conditioning on/off), cached; everything else is traced, so
+ref_scale/guidance_scale sweeps do not recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..diffusion import (
+    NoiseSchedule,
+    ddim_step,
+    ddpm_step,
+    inference_timesteps,
+    make_shifted_schedule,
+)
+from ..nn import AutoencoderKL, CLIPTextEncoder, MultiViewUNet
+from ..data.tokenizer import load_tokenizer
+
+
+def build_schedule(cfg: ModelConfig) -> NoiseSchedule:
+    s = cfg.scheduler
+    base = NoiseSchedule.create(
+        num_train_timesteps=s.num_train_timesteps,
+        beta_schedule=s.beta_schedule,
+        beta_start=s.beta_start,
+        beta_end=s.beta_end,
+        prediction_type=s.prediction_type,
+        steps_offset=s.steps_offset,
+        timestep_spacing=s.timestep_spacing,
+    )
+    if s.shift_mode and s.shift_mode != "none":
+        return make_shifted_schedule(base, s.shift_scale, s.shift_mode)
+    return base
+
+
+class MVDPipeline:
+    """Holds modules + params + schedule; callable like the reference
+    pipeline (same argument names where they exist)."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        params: Dict[str, Any],
+        tokenizer=None,
+        schedule: Optional[NoiseSchedule] = None,
+    ):
+        self.config = config
+        self.params = params
+        dtype = jnp.dtype(config.dtype)
+        self.mvd_unet = MultiViewUNet(config)
+        self.vae = AutoencoderKL(config.vae, dtype=dtype)
+        self.text_encoder = CLIPTextEncoder(config.text_encoder, dtype=dtype)
+        self.tokenizer = tokenizer or load_tokenizer(
+            vocab_size=config.text_encoder.vocab_size,
+            max_length=config.text_encoder.max_length,
+        )
+        self.schedule = schedule if schedule is not None else build_schedule(config)
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, config: ModelConfig, rng: jax.Array, tokenizer=None):
+        """Random-init all params (no pretrained weights in this env; use
+        checkpoint/torch_convert.py to load reference weights)."""
+        k1, k2, k3 = jax.random.split(rng, 3)
+        hw = config.unet.sample_size
+        mvd = MultiViewUNet(config)
+        sample = jnp.zeros((1, hw, hw, config.unet.in_channels))
+        ctx = jnp.zeros((1, config.text_encoder.max_length, config.unet.cross_attention_dim))
+        cams = jnp.eye(4)[None]
+        mvd_params = mvd.init(
+            k1,
+            sample,
+            jnp.zeros((), jnp.int32),
+            ctx,
+            source_camera=cams if config.use_camera_conditioning else None,
+            target_camera=cams if config.use_camera_conditioning else None,
+            source_image_latents=sample if config.use_image_conditioning else None,
+        )
+        vae = AutoencoderKL(config.vae)
+        img_hw = min(config.vae.sample_size, 64)
+        vae_params = vae.init(k2, jnp.zeros((1, img_hw, img_hw, config.vae.in_channels)))
+        te = CLIPTextEncoder(config.text_encoder)
+        te_params = te.init(k3, jnp.zeros((1, config.text_encoder.max_length), jnp.int32))
+        params = {"mvd": mvd_params, "vae": vae_params, "text_encoder": te_params}
+        return cls(config, params, tokenizer)
+
+    # ------------------------------------------------------------------
+    def encode_text(self, prompts: Union[str, List[str]]) -> jnp.ndarray:
+        ids = jnp.asarray(self.tokenizer(prompts))
+        return self.text_encoder.apply(self.params["text_encoder"], ids)
+
+    def vae_encode(self, images: jnp.ndarray, rng=None, sample=True) -> jnp.ndarray:
+        """[-1,1] NHWC images -> scaled latents (x scaling_factor)."""
+        z = self.vae.apply(self.params["vae"], images, rng, sample, method=self.vae.encode)
+        return z * self.config.vae.scaling_factor
+
+    def vae_decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """scaled latents -> [-1,1]-ish NHWC images."""
+        z = latents / self.config.vae.scaling_factor
+        return self.vae.apply(self.params["vae"], z, method=self.vae.decode)
+
+    # ------------------------------------------------------------------
+    def _generate_fn(self, key):
+        """Build (and cache) the jitted end-to-end sampler for one static
+        signature."""
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler) = key
+        schedule = self.schedule
+        ts_grid = jnp.asarray(inference_timesteps(schedule, steps))
+        cfgm = self.config
+
+        def fn(params, ids, neg_ids, latents, src_images, src_cam, tgt_cam,
+               guidance_scale, ref_scale, rng):
+            text = self.text_encoder.apply(params["text_encoder"], ids)
+            if do_cfg:
+                uncond = self.text_encoder.apply(params["text_encoder"], neg_ids)
+                # uncond first (reference pipeline.py:79, 156-158)
+                embeds = jnp.concatenate([uncond, text], axis=0)
+            else:
+                embeds = text
+
+            src_latents = None
+            if has_img:
+                rng, enc_rng = jax.random.split(rng)
+                z = self.vae.apply(
+                    params["vae"], src_images, enc_rng, True, method=self.vae.encode
+                )
+                src_latents = z * cfgm.vae.scaling_factor
+
+            film, ref_feats = self.mvd_unet.apply(
+                params["mvd"],
+                embeds,
+                src_cam if has_cam else None,
+                tgt_cam if has_cam else None,
+                src_latents,
+                cfg_batch=2 * B if do_cfg else B,
+                method=self.mvd_unet.prepare_conditioning,
+            )
+
+            def body(carry, xs):
+                lat, rng = carry
+                t = xs
+                rng, step_rng = jax.random.split(rng)
+                inp = jnp.concatenate([lat, lat], 0) if do_cfg else lat
+                pred = self.mvd_unet.apply(
+                    params["mvd"], inp, t, embeds, film, ref_feats, ref_scale,
+                    method=self.mvd_unet.denoise,
+                )
+                if do_cfg:
+                    un, co = jnp.split(pred, 2, axis=0)
+                    pred = un + guidance_scale * (co - un)
+                if sampler == "ddim":
+                    lat = ddim_step(schedule, pred, t, lat, steps)
+                else:
+                    lat = ddpm_step(schedule, pred, t, lat, step_rng, steps)
+                return (lat, rng), None
+
+            (lat, _), _ = jax.lax.scan(body, (latents, rng), ts_grid)
+            img = self.vae.apply(
+                params["vae"], lat / cfgm.vae.scaling_factor, method=self.vae.decode
+            )
+            img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            return img
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        prompt: Union[str, List[str], None] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        negative_prompt: Union[str, List[str], None] = None,
+        num_images_per_prompt: int = 1,
+        latents: Optional[jnp.ndarray] = None,
+        source_camera: Optional[np.ndarray] = None,
+        target_camera: Optional[np.ndarray] = None,
+        source_images: Optional[np.ndarray] = None,
+        ref_scale: float = 0.1,
+        seed: int = 0,
+        rng: Optional[jax.Array] = None,
+        output_type: str = "np",
+    ):
+        """Generate images. Returns dict with "images": (B, H, W, 3) in [0,1]
+        (the reference returns the same range, pipeline.py:176)."""
+        cfg = self.config
+        if prompt is None:
+            prompt = ""
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        B = len(prompt) * num_images_per_prompt
+
+        vae_scale = 8
+        height = height or cfg.unet.sample_size * vae_scale
+        width = width or cfg.unet.sample_size * vae_scale
+        lat_h, lat_w = height // vae_scale, width // vae_scale
+
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+        rng, lat_rng = jax.random.split(rng)
+
+        ids = np.asarray(self.tokenizer(prompt))
+        ids = np.repeat(ids, num_images_per_prompt, axis=0)
+        do_cfg = guidance_scale > 1.0 and negative_prompt is not None
+        if do_cfg:
+            neg = negative_prompt if isinstance(negative_prompt, list) else [negative_prompt]
+            if len(neg) == 1:
+                neg = neg * len(prompt)
+            neg_ids = np.repeat(np.asarray(self.tokenizer(neg)), num_images_per_prompt, 0)
+        else:
+            neg_ids = np.zeros_like(ids)
+
+        if latents is None:
+            latents = (
+                jax.random.normal(lat_rng, (B, lat_h, lat_w, 4), jnp.float32)
+                * self.schedule.init_noise_sigma
+            )
+
+        has_img = cfg.use_image_conditioning and source_images is not None
+        has_cam = cfg.use_camera_conditioning and target_camera is not None
+
+        src_images = np.zeros((B, height, width, 3), np.float32)
+        if has_img:
+            src = np.asarray(source_images, np.float32)
+            if src.ndim == 3:
+                src = src[None]
+            if src.min() >= 0 and src.max() <= 1:  # [0,1] -> [-1,1] (pipeline.py:107)
+                src = 2 * src - 1
+            if src.shape[0] < B:
+                src = np.tile(src, (B // src.shape[0], 1, 1, 1))
+            src_images = src
+
+        def prep_cam(c):
+            c = np.asarray(c, np.float32)
+            if c.ndim == 2:
+                c = c[None]
+            if c.shape[-2] == 3:  # [3,4] -> [4,4]
+                pad = np.tile(np.array([0, 0, 0, 1], np.float32), (c.shape[0], 1, 1))
+                c = np.concatenate([c, pad], axis=-2)
+            if c.shape[0] < B:
+                c = np.tile(c, (B // c.shape[0], 1, 1))
+            return c
+
+        src_cam = prep_cam(source_camera) if has_cam else np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        tgt_cam = prep_cam(target_camera) if has_cam else np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+
+        key = (
+            B, lat_h, lat_w, num_inference_steps, do_cfg, has_img, has_cam,
+            cfg.scheduler.sampler,
+        )
+        fn = self._generate_fn(key)
+        images = fn(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(neg_ids),
+            latents,
+            jnp.asarray(src_images),
+            jnp.asarray(src_cam),
+            jnp.asarray(tgt_cam),
+            jnp.float32(guidance_scale),
+            jnp.float32(ref_scale),
+            rng,
+        )
+        if output_type == "np":
+            images = np.asarray(images)
+        return {"images": images}

@@ -1,0 +1,93 @@
+"""End-to-end pipeline tests on the tiny model config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvd_tpu.config import TINY_MODEL
+from mvd_tpu.camera import orbit_cameras
+from mvd_tpu.pipeline import MVDPipeline, build_schedule
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return MVDPipeline.create(TINY_MODEL, jax.random.PRNGKey(0))
+
+
+def test_schedule_is_shifted(pipe):
+    from mvd_tpu.diffusion import NoiseSchedule, compute_snr
+
+    base = NoiseSchedule.create()
+    t = jnp.asarray(999)
+    assert float(compute_snr(pipe.schedule, t)) < float(compute_snr(base, t))
+
+
+def test_txt2img_runs(pipe):
+    out = pipe("a chair", num_inference_steps=3, guidance_scale=1.0, seed=1)
+    img = out["images"]
+    hw = TINY_MODEL.unet.sample_size * 8
+    assert img.shape == (1, hw, hw, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert np.isfinite(img).all()
+
+
+def test_full_conditioning_runs(pipe):
+    cams = orbit_cameras(2)
+    hw = TINY_MODEL.unet.sample_size * 8
+    src = np.random.default_rng(0).uniform(0, 1, (1, hw, hw, 3)).astype(np.float32)
+    out = pipe(
+        "a chair",
+        num_inference_steps=2,
+        guidance_scale=1.0,
+        source_camera=cams[0],
+        target_camera=cams[1],
+        source_images=src,
+        ref_scale=1.0,
+        seed=2,
+    )
+    assert out["images"].shape == (1, hw, hw, 3)
+    assert np.isfinite(out["images"]).all()
+
+
+def test_cfg_with_conditioning(pipe):
+    """guidance>1 + conditioning: broken in the reference (batch mismatch),
+    works here by tiling conditioning over the CFG batch."""
+    cams = orbit_cameras(2)
+    hw = TINY_MODEL.unet.sample_size * 8
+    src = np.zeros((1, hw, hw, 3), np.float32)
+    out = pipe(
+        "a chair",
+        negative_prompt="blurry",
+        num_inference_steps=2,
+        guidance_scale=3.0,
+        source_camera=cams[0],
+        target_camera=cams[1],
+        source_images=src,
+        seed=3,
+    )
+    assert np.isfinite(out["images"]).all()
+
+
+def test_determinism(pipe):
+    a = pipe("a chair", num_inference_steps=2, guidance_scale=1.0, seed=7)["images"]
+    b = pipe("a chair", num_inference_steps=2, guidance_scale=1.0, seed=7)["images"]
+    np.testing.assert_array_equal(a, b)
+    c = pipe("a chair", num_inference_steps=2, guidance_scale=1.0, seed=8)["images"]
+    assert not np.array_equal(a, c)
+
+
+def test_batch_multi_view(pipe):
+    cams = orbit_cameras(4)
+    hw = TINY_MODEL.unet.sample_size * 8
+    src = np.zeros((1, hw, hw, 3), np.float32)
+    out = pipe(
+        ["a chair"] * 4,
+        num_inference_steps=2,
+        guidance_scale=1.0,
+        source_camera=np.tile(cams[:1], (4, 1, 1)),
+        target_camera=cams,
+        source_images=src,
+        seed=4,
+    )
+    assert out["images"].shape == (4, hw, hw, 3)
