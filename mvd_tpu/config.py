@@ -50,6 +50,13 @@ class UNetConfig:
     remat: bool = True  # jax.checkpoint the heavy blocks
     with_adapters: bool = True  # image cross-attention adapters in every attn
     img_ref_scale: float = 0.3  # adapter output scale (attention.py:46)
+    # --- joint multi-view attention (north-star extension; reference is
+    # pairwise-only, SURVEY §5.7): self-attention over the concatenated
+    # (views x tokens) sequence. When ``view_axis`` names a mesh axis (and
+    # the model runs under shard_map), K/V rotate around that axis as a ring
+    # collective (kernels/ring_attention.py).
+    num_views: int = 1
+    view_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

@@ -130,28 +130,55 @@ class CrossViewAdapter(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head attention: self (context=None) or cross."""
+    """Multi-head attention: self (context=None) or cross.
+
+    Joint multi-view self-attention: with ``num_views > 1`` the flat
+    (B*V, S, D) rows are regrouped into (B, V*S, D) so every view attends to
+    every other view's tokens. If ``view_axis`` names a bound mesh axis
+    (i.e. we are inside shard_map with the view dimension sharded), the
+    local views attend to the GLOBAL sequence via the ring collective."""
 
     heads: int
     head_dim: int
     attention_impl: str = "auto"
     out_dim: Optional[int] = None
+    num_views: int = 1
+    view_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray, context: Optional[jnp.ndarray] = None):
         B, S, D = hidden.shape
-        ctx = hidden if context is None else context.astype(hidden.dtype)
+        is_self = context is None
+        ctx = hidden if is_self else context.astype(hidden.dtype)
         Sk = ctx.shape[1]
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-        q = q.reshape(B, S, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        out = attention_dispatch(q, k, v, impl=self.attention_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+
+        joint = is_self and self.num_views > 1
+        if joint:
+            from jax import lax
+
+            V = self.num_views
+            if self.view_axis is not None:
+                V = V // lax.psum(1, self.view_axis)  # local views per shard
+            nb = B // V
+            split = lambda t, s: t.reshape(nb, V * s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+            q, k, v = split(q, S), split(k, Sk), split(v, Sk)
+            if self.view_axis is not None:
+                from ..kernels.ring_attention import ring_attention
+
+                out = ring_attention(q, k, v, axis_name=self.view_axis)
+            else:
+                out = attention_dispatch(q, k, v, impl=self.attention_impl)
+            out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+        else:
+            split = lambda t, s: t.reshape(B, s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+            q, k, v = split(q, S), split(k, Sk), split(v, Sk)
+            out = attention_dispatch(q, k, v, impl=self.attention_impl)
+            out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
         out = nn.Dense(self.out_dim or D, dtype=self.dtype, name="to_out")(out)
         return out
 
@@ -186,6 +213,8 @@ class BasicTransformerBlock(nn.Module):
     with_adapters: bool = False
     ref_scale: float = 0.3
     attention_impl: str = "auto"
+    num_views: int = 1
+    view_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -210,7 +239,9 @@ class BasicTransformerBlock(nn.Module):
         scale = self.ref_scale if ref_scale is None else ref_scale
 
         h = ln("norm1")(x).astype(x.dtype)
-        a = Attention(**kw, name="attn1")(h)
+        a = Attention(
+            **kw, num_views=self.num_views, view_axis=self.view_axis, name="attn1"
+        )(h)
         if self.with_adapters:
             adapter = CrossViewAdapter(**kw, name="adapter_self")
             if ref is not None:
@@ -247,6 +278,8 @@ class Transformer2D(nn.Module):
     with_adapters: bool = False
     ref_scale: float = 0.3
     attention_impl: str = "auto"
+    num_views: int = 1
+    view_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -269,6 +302,8 @@ class Transformer2D(nn.Module):
                 with_adapters=self.with_adapters,
                 ref_scale=self.ref_scale,
                 attention_impl=self.attention_impl,
+                num_views=self.num_views,
+                view_axis=self.view_axis,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, context, ref, ref_scale)

@@ -95,6 +95,8 @@ class UNet2DCondition(nn.Module):
                 with_adapters=cfg.with_adapters,
                 ref_scale=cfg.img_ref_scale,
                 attention_impl=cfg.attention_impl,
+                num_views=cfg.num_views,
+                view_axis=cfg.view_axis,
                 dtype=self.dtype,
                 name=name,
             )

@@ -1,0 +1,97 @@
+"""shard_map wrappers for view-sharded (joint multi-view) model execution.
+
+Convention: multi-view batches are (B, V, ...) — axis 0 sharded over the
+``data`` mesh axis, axis 1 over ``view``. Inside the shard_map body the local
+(B_l, V_l, ...) block is flattened to the model's flat row convention
+(row = b * V_l + v, views fastest) so every per-row op (convs, norms,
+cross-attention, adapters, FiLM) is purely local; the ONLY cross-device
+communication is the ring K/V rotation inside joint self-attention
+(kernels/ring_attention.py) plus the gradient psum XLA inserts for the
+replicated params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _flatten_bv(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _bv_spec(ndim: int) -> P:
+    return P("data", "view", *([None] * (ndim - 2)))
+
+
+def sharded_denoise_fn(
+    mvd_unet,
+    mesh: Mesh,
+    with_conditioning: bool = True,
+) -> Callable:
+    """Build a jitted, view-sharded denoise function.
+
+    Returns fn(params, sample_bv, t, text_bv, film, ref_features, ref_scale)
+    where sample_bv is (B, V, h, w, 4), text_bv is (B, V, 77, D), film values
+    are (B, V, C) pairs and ref features are (B, V, S, C). The wrapped module
+    must have ``cfg.unet.view_axis == "view"`` and ``cfg.unet.num_views == V``.
+    """
+
+    def body(params, sample, t, text, film, ref_features, ref_scale):
+        sample = _flatten_bv(sample)
+        text = _flatten_bv(text)
+        film = (
+            None
+            if film is None
+            else {k: (_flatten_bv(s), _flatten_bv(sh)) for k, (s, sh) in film.items()}
+        )
+        ref_features = (
+            None
+            if ref_features is None
+            else {k: _flatten_bv(f) for k, f in ref_features.items()}
+        )
+        out = mvd_unet.apply(
+            params, sample, t, text, film, ref_features, ref_scale,
+            method=mvd_unet.denoise,
+        )
+        return out.reshape((-1, mvd_unet.cfg.unet.num_views // mesh.shape["view"]) + out.shape[1:])
+
+    def specs_for(tree):
+        return jax.tree_util.tree_map(lambda x: _bv_spec(jnp.ndim(x)), tree)
+
+    def fn(params, sample, t, text, film=None, ref_features=None, ref_scale=None):
+        in_specs = (
+            P(),  # params replicated
+            _bv_spec(sample.ndim),
+            P(),
+            _bv_spec(text.ndim),
+            specs_for(film),
+            specs_for(ref_features),
+            P(),
+        )
+        mapped = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=_bv_spec(sample.ndim),
+            check_vma=False,
+        )
+        return mapped(params, sample, t, text, film, ref_features, ref_scale)
+
+    return fn
+
+
+def for_view_sharding(model_cfg, num_views: int, view_devices: int):
+    """Return a ModelConfig whose UNet runs joint attention over
+    ``num_views`` with the view axis sharded over ``view_devices`` devices."""
+    unet = dataclasses.replace(
+        model_cfg.unet,
+        num_views=num_views,
+        view_axis="view" if view_devices > 1 else None,
+    )
+    return dataclasses.replace(model_cfg, unet=unet)
