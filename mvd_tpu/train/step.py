@@ -1,0 +1,215 @@
+"""The jit-compiled training step (single- and multi-chip).
+
+One compiled program per step, mirroring reference training.py:167-262:
+  frozen text encode -> frozen VAE encode (source+target, sampled, x
+  scaling_factor, training.py:173-197) -> noise + uniform timesteps ->
+  add_noise on the SHIFTED schedule (training.py:48 picks up the shifted
+  betas via the pipeline scheduler config) -> MultiViewUNet prediction ->
+  Min-SNR-weighted v-prediction MSE -> masked AdamW update.
+
+Parallelism:
+  * default: batch (B, V, ...) flattened to rows, leading dim sharded over
+    the ("data","view") mesh axes via jit in_shardings; params replicated;
+    XLA inserts the gradient all-reduce over ICI (the DDP equivalent of
+    reference train.py:175-186).
+  * ``view_sharded``: the whole loss runs inside shard_map with the view
+    axis sharded; joint cross-view attention uses the ring collective and
+    gradients psum across the mesh. Requires cfg.unet.view_axis == "view".
+
+Telemetry mirrors the reference's per-group gradient norms
+(training.py:132-165, 557-701): camera_encoder, image_attention_processor
+(adapters), down/mid/up modulators, plus the global grad norm.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax.traverse_util import flatten_dict
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig
+from ..diffusion import NoiseSchedule, add_noise
+from .losses import noise_loss
+from .state import TrainState
+
+GRAD_GROUPS = {
+    "camera_encoder": lambda parts: "camera_encoder" in parts
+    and not any(p.startswith("mod_") for p in parts),
+    "image_attention_processor": lambda parts: "adapter_self" in parts
+    or "adapter_cross" in parts,
+    "down_modulators": lambda parts: any(p.startswith("mod_down") for p in parts),
+    "up_modulators": lambda parts: any(p.startswith("mod_up") for p in parts),
+    "mid_modulators": lambda parts: any(
+        p.startswith("mod_mid") or p.startswith("mod_output") for p in parts
+    ),
+}
+
+
+def grad_group_norms(grads) -> Dict[str, jnp.ndarray]:
+    flat = flatten_dict(grads)
+    out = {}
+    for name, pred in GRAD_GROUPS.items():
+        sq = [
+            jnp.sum(jnp.square(v.astype(jnp.float32)))
+            for k, v in flat.items()
+            if pred([str(p) for p in k])
+        ]
+        out[f"grad_norm/{name}"] = jnp.sqrt(sum(sq)) if sq else jnp.zeros(())
+    total = sum(jnp.sum(jnp.square(v.astype(jnp.float32))) for v in flat.values())
+    out["grad_norm/total"] = jnp.sqrt(total)
+    return out
+
+
+def _flat(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def make_loss_fn(pipe, schedule: NoiseSchedule, cfg: TrainConfig):
+    """Local (per-shard) loss over a flat-row batch."""
+    cfgm = pipe.config
+    sf = cfgm.vae.scaling_factor
+
+    def loss_fn(params, frozen, batch, rng):
+        # batch entries are flat rows (N, ...)
+        ids = batch["input_ids"]
+        N = ids.shape[0]
+        r_noise, r_t, r_vs, r_vt = jax.random.split(rng, 4)
+
+        text = pipe.text_encoder.apply(frozen["text_encoder"], ids)
+        text = jax.lax.stop_gradient(text)
+
+        src_lat = (
+            pipe.vae.apply(
+                frozen["vae"], batch["source_image"], r_vs, True, method=pipe.vae.encode
+            )
+            * sf
+        )
+        tgt_lat = (
+            pipe.vae.apply(
+                frozen["vae"], batch["target_image"], r_vt, True, method=pipe.vae.encode
+            )
+            * sf
+        )
+        src_lat = jax.lax.stop_gradient(src_lat)
+        tgt_lat = jax.lax.stop_gradient(tgt_lat)
+
+        noise = jax.random.normal(r_noise, tgt_lat.shape, jnp.float32)
+        t = jax.random.randint(r_t, (N,), 0, schedule.num_train_timesteps)
+        noisy = add_noise(schedule, tgt_lat, noise, t)
+
+        pred = pipe.mvd_unet.apply(
+            params,
+            noisy,
+            t,
+            text,
+            source_camera=batch.get("source_camera"),
+            target_camera=batch.get("target_camera"),
+            source_image_latents=src_lat if cfgm.use_image_conditioning else None,
+        )
+        ld = noise_loss(
+            schedule,
+            pred,
+            noise,
+            tgt_lat,
+            t,
+            snr_gamma=cfg.loss.snr_gamma,
+            use_snr=cfg.loss.use_snr_loss,
+            weighting=cfg.loss.weighting,
+        )
+        return ld["noise_loss"], ld
+
+    return loss_fn
+
+
+def make_train_step(
+    pipe,
+    schedule: NoiseSchedule,
+    cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+    view_sharded: bool = False,
+):
+    """Returns jitted fn(state, frozen, batch, rng) -> (state, metrics).
+
+    ``batch`` entries are (B, V, ...) arrays."""
+    loss_fn = make_loss_fn(pipe, schedule, cfg)
+
+    if view_sharded:
+        assert mesh is not None and pipe.config.unet.view_axis == "view"
+
+        def local_loss(params, frozen, batch, rng):
+            rng = jax.random.fold_in(rng, lax.axis_index("data"))
+            rng = jax.random.fold_in(rng, lax.axis_index("view"))
+            flat_batch = {k: _flat(v) for k, v in batch.items()}
+            loss, metrics = loss_fn(params, frozen, flat_batch, rng)
+            loss = lax.pmean(loss, ("data", "view"))
+            metrics = jax.tree_util.tree_map(
+                lambda m: lax.pmean(m, ("data", "view")), metrics
+            )
+            return loss, metrics
+
+        def global_loss(params, frozen, batch, rng):
+            bv = lambda nd: P("data", "view", *([None] * (nd - 2)))
+            mapped = shard_map(
+                functools.partial(local_loss),
+                mesh=mesh,
+                in_specs=(
+                    P(),
+                    P(),
+                    jax.tree_util.tree_map(lambda x: bv(x.ndim), batch),
+                    P(),
+                ),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return mapped(params, frozen, batch, rng)
+
+        def step(state: TrainState, frozen, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(global_loss, has_aux=True)(
+                state.params, frozen, batch, rng
+            )
+            metrics = dict(metrics)
+            metrics.update(grad_group_norms(grads))
+            state = state.apply_gradients(grads)
+            return state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    # --- default: DP over (data, view) on flat rows via shardings ---
+    def step(state: TrainState, frozen, batch, rng):
+        flat_batch = {k: _flat(v) for k, v in batch.items()}
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen, flat_batch, rng
+        )
+        metrics = dict(metrics)
+        metrics.update(grad_group_norms(grads))
+        state = state.apply_gradients(grads)
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    bv = lambda nd: NamedSharding(mesh, P("data", "view", *([None] * (nd - 2))))
+
+    def shard_args(state, frozen, batch, rng):
+        batch = {
+            k: jax.device_put(v, bv(v.ndim)) for k, v in batch.items()
+        }
+        return batch
+
+    jitted = jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(None, repl, None, repl),
+    )
+
+    def wrapped(state, frozen, batch, rng):
+        batch = shard_args(state, frozen, batch, rng)
+        return jitted(state, frozen, batch, rng)
+
+    return wrapped
