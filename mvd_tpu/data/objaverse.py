@@ -1,0 +1,414 @@
+"""Objaverse multi-view dataset (zip contract) + resumable loader.
+
+Rebuild of reference src/data/objaverse_dataset.py:23-535. The on-disk
+contract is unchanged (produced by the offline render/caption toolchain,
+tools/rendering + tools/cleaning): one zip per object containing
+``NNN.png`` renders, ``NNN.npy`` 4x4 camera-to-world matrices,
+``prompt.txt``, ``metadata.json``.
+
+Behavior kept from the reference:
+  * glob ``<root>/renders_final/*.zip`` (objaverse_dataset.py:46-50),
+  * deterministic shuffled 0.8/0.1/0.1 split, seed 42, with an md5 hash of
+    the split file list (objaverse_dataset.py:61-92),
+  * ordered source->target pairs over up to ``max_views_per_object`` sampled
+    views, all i<j pairs, ``dataset_samples`` cap, JSON pair cache keyed by
+    split-hash + cap (objaverse_dataset.py:94-201),
+  * 3-retry self-healing reads that evict missing/corrupt zip entries from
+    the pair list live (objaverse_dataset.py:215-253),
+  * RGBA -> white composite, LANCZOS resize, [-1,1] normalize
+    (objaverse_dataset.py:259-294),
+  * ``state_dict``/``load_state_dict`` persisting the RNG state so resumed
+    runs rebuild identical splits/pairs (objaverse_dataset.py:302-337).
+
+TPU-native changes: images come back as NHWC float32 numpy (feeding the
+device pipeline directly); the loader groups ``views_per_sample`` target
+views of one object per sample for joint multi-view training (the reference
+is strictly pairwise).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import logging
+import os
+import random
+import threading
+import queue as queue_mod
+import zipfile
+from dataclasses import dataclass
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+try:
+    from PIL import Image
+
+    HAVE_PIL = True
+except Exception:  # pragma: no cover
+    HAVE_PIL = False
+
+
+def _load_image_from_bytes(data: bytes, image_size: int) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) float32 in [-1, 1], white-composited."""
+    img = Image.open(io.BytesIO(data))
+    if img.mode == "RGBA":
+        bg = Image.new("RGBA", img.size, (255, 255, 255, 255))
+        img = Image.alpha_composite(bg, img)
+    img = img.convert("RGB")
+    if img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.LANCZOS)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+@dataclass
+class ViewPair:
+    zip_path: str
+    source_view: int
+    target_view: int
+    prompt: str
+
+
+class ObjaverseDataset:
+    def __init__(
+        self,
+        data_root: str,
+        split: str = "train",
+        image_size: int = 768,
+        max_views_per_object: int = 8,
+        dataset_samples: Optional[int] = None,
+        seed: int = 42,
+        val_split: float = 0.1,
+        test_split: float = 0.1,
+        cache_dir: Optional[str] = None,
+        views_per_sample: int = 1,
+    ):
+        assert split in ("train", "val", "test")
+        self.data_root = data_root
+        self.split = split
+        self.image_size = image_size
+        self.max_views = max_views_per_object
+        self.dataset_samples = dataset_samples
+        self.seed = seed
+        self.val_split = val_split
+        self.test_split = test_split
+        self.cache_dir = cache_dir or os.path.join(data_root, ".mvd_cache")
+        self.views_per_sample = views_per_sample
+        self.rng = random.Random(seed)
+
+        self._zip_lock = threading.Lock()
+        self._zip_handles: Dict[str, zipfile.ZipFile] = {}
+
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        files = sorted(glob(os.path.join(self.data_root, "renders_final", "*.zip")))
+        if not files:
+            files = sorted(glob(os.path.join(self.data_root, "*.zip")))
+        self.all_files = files
+        self._split_dataset()
+        self._build_view_pairs()
+
+    def _split_dataset(self):
+        assert self.val_split + self.test_split < 1.0
+        files = list(self.all_files)
+        rng = random.Random(self.seed)
+        rng.shuffle(files)
+        n = len(files)
+        n_test = int(n * self.test_split)
+        n_val = int(n * self.val_split)
+        splits = {
+            "test": files[:n_test],
+            "val": files[n_test : n_test + n_val],
+            "train": files[n_test + n_val :],
+        }
+        self.files = splits[self.split]
+        h = hashlib.md5("".join(self.files).encode()).hexdigest()[:12]
+        self.split_hash = h
+
+    def _pair_cache_path(self) -> str:
+        cap = self.dataset_samples or "all"
+        return os.path.join(
+            self.cache_dir,
+            f"pairs_{self.split}_{self.split_hash}_{self.max_views}_{cap}.json",
+        )
+
+    def _build_view_pairs(self):
+        cache = self._pair_cache_path()
+        if os.path.exists(cache):
+            try:
+                with open(cache) as f:
+                    raw = json.load(f)
+                self.pairs = [ViewPair(**p) for p in raw]
+                logger.info("loaded %d pairs from cache %s", len(self.pairs), cache)
+                return
+            except Exception:
+                logger.warning("pair cache unreadable, rebuilding: %s", cache)
+
+        pairs: List[ViewPair] = []
+        for zp in self.files:
+            try:
+                with zipfile.ZipFile(zp) as z:
+                    names = z.namelist()
+                    views = sorted(
+                        int(os.path.splitext(os.path.basename(n))[0])
+                        for n in names
+                        if n.endswith(".png")
+                        and os.path.splitext(os.path.basename(n))[0].isdigit()
+                    )
+                    prompt = "3D object"
+                    for n in names:
+                        if n.endswith("prompt.txt"):
+                            prompt = z.read(n).decode("utf-8", "replace").strip() or prompt
+                            break
+            except Exception as e:
+                logger.warning("skipping corrupt zip %s: %s", zp, e)
+                continue
+            if len(views) < 2:
+                continue
+            if len(views) > self.max_views:
+                views = self.rng.sample(views, self.max_views)
+                views.sort()
+            for i in range(len(views)):
+                for j in range(i + 1, len(views)):
+                    pairs.append(ViewPair(zp, views[i], views[j], prompt))
+            if self.dataset_samples and len(pairs) >= self.dataset_samples:
+                pairs = pairs[: self.dataset_samples]
+                break
+        self.pairs = pairs
+
+        try:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump([p.__dict__ for p in pairs], f)
+        except OSError as e:
+            logger.warning("could not write pair cache: %s", e)
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _zip(self, path: str) -> zipfile.ZipFile:
+        with self._zip_lock:
+            if path not in self._zip_handles:
+                self._zip_handles[path] = zipfile.ZipFile(path)
+            return self._zip_handles[path]
+
+    def _read_view(self, zp: str, view: int) -> Tuple[np.ndarray, np.ndarray]:
+        z = self._zip(zp)
+        names = z.namelist()
+        png = next(n for n in names if n.endswith(f"{view:03d}.png"))
+        npy = next(n for n in names if n.endswith(f"{view:03d}.npy"))
+        img = _load_image_from_bytes(z.read(png), self.image_size)
+        cam = np.load(io.BytesIO(z.read(npy))).astype(np.float32)
+        if cam.shape == (3, 4):
+            cam = np.concatenate([cam, np.array([[0, 0, 0, 1]], np.float32)], axis=0)
+        return img, cam
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        """Self-healing read: 3 retries, evicting broken pairs live
+        (reference objaverse_dataset.py:215-253)."""
+        for _ in range(3):
+            if not self.pairs:
+                raise RuntimeError("dataset exhausted: all pairs evicted")
+            pair = self.pairs[idx % len(self.pairs)]
+            try:
+                src_img, src_cam = self._read_view(pair.zip_path, pair.source_view)
+                tgt_img, tgt_cam = self._read_view(pair.zip_path, pair.target_view)
+                return {
+                    "source_image": src_img,
+                    "target_image": tgt_img,
+                    "source_camera": src_cam,
+                    "target_camera": tgt_cam,
+                    "prompt": pair.prompt,
+                }
+            except (zipfile.BadZipFile, FileNotFoundError, OSError) as e:
+                # whole archive unreadable -> evict every pair from it
+                logger.warning("dropping unreadable zip %s: %s", pair.zip_path, e)
+                with self._zip_lock:
+                    self._zip_handles.pop(pair.zip_path, None)
+                self.pairs = [p for p in self.pairs if p.zip_path != pair.zip_path]
+            except Exception as e:
+                logger.warning(
+                    "dropping bad pair %s (%d->%d): %s",
+                    pair.zip_path, pair.source_view, pair.target_view, e,
+                )
+                self.pairs = [p for p in self.pairs if p is not pair]
+                idx += 1
+        raise RuntimeError("3 consecutive corrupt samples")
+
+    # ------------------------------------------------------------------
+    def state_dict(self) -> Dict:
+        return {
+            "rng_state": json.dumps(self.rng.getstate(), default=list),
+            "split": self.split,
+            "seed": self.seed,
+        }
+
+    def load_state_dict(self, state: Dict):
+        self.seed = state.get("seed", self.seed)
+        self.rng = random.Random(self.seed)
+        rs = state.get("rng_state")
+        if rs:
+            loaded = json.loads(rs)
+            self.rng.setstate(
+                (loaded[0], tuple(loaded[1]), loaded[2])
+            )
+        self._build()
+
+
+def collate(
+    samples: Sequence[Dict[str, np.ndarray]],
+    tokenizer,
+    views_per_sample: int = 1,
+) -> Dict[str, np.ndarray]:
+    """Stack samples into (B, V, ...) arrays + tokenized prompts."""
+    V = views_per_sample
+    assert len(samples) % V == 0
+    B = len(samples) // V
+
+    def stack(key):
+        return np.stack([s[key] for s in samples]).reshape(
+            (B, V) + samples[0][key].shape
+        )
+
+    ids = tokenizer([s["prompt"] for s in samples]).reshape(B, V, -1)
+    return {
+        "source_image": stack("source_image"),
+        "target_image": stack("target_image"),
+        "source_camera": stack("source_camera"),
+        "target_camera": stack("target_camera"),
+        "input_ids": ids,
+    }
+
+
+class DataLoader:
+    """Background-thread prefetching loader producing (B, V, ...) numpy
+    batches — the host side of the input pipeline (device-put + sharding is
+    the trainer's job). Replaces torch DataLoader workers
+    (objaverse_dataset.py:403-431)."""
+
+    def __init__(
+        self,
+        dataset: ObjaverseDataset,
+        tokenizer,
+        batch_size: int,
+        views_per_sample: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        drop_last: bool = True,
+    ):
+        self.ds = dataset
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.V = views_per_sample
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.ds) // (self.batch_size * self.V)
+        if not self.drop_last and len(self.ds) % (self.batch_size * self.V):
+            n += 1
+        return n
+
+    def __iter__(self):
+        order = list(range(len(self.ds)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        per_batch = self.batch_size * self.V
+        batches = [
+            order[i : i + per_batch]
+            for i in range(0, len(order) - per_batch + 1, per_batch)
+        ]
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker(batch_indices_slice):
+            for bi in batch_indices_slice:
+                if stop.is_set():
+                    return
+                try:
+                    samples = [self.ds[i] for i in bi]
+                    q.put(collate(samples, self.tokenizer, self.V))
+                except Exception as e:  # keep the loop alive (self-healing)
+                    logger.warning("batch skipped: %s", e)
+            q.put(None)
+
+        shards = [batches[i :: self.num_workers] for i in range(self.num_workers)]
+        threads = [
+            threading.Thread(target=worker, args=(s,), daemon=True) for s in shards
+        ]
+        for t in threads:
+            t.start()
+        done = 0
+        try:
+            while done < len(threads):
+                item = q.get()
+                if item is None:
+                    done += 1
+                    continue
+                yield item
+        finally:
+            stop.set()
+
+
+class ObjaverseDataModule:
+    """train/val/test datasets + loaders + checkpointable state
+    (reference objaverse_dataset.py:340-478)."""
+
+    def __init__(self, data_root: str, tokenizer, image_size=768,
+                 batch_size=6, max_views_per_object=8, dataset_samples=None,
+                 views_per_sample=1, num_workers=4, seed=42):
+        self.kwargs = dict(
+            data_root=data_root,
+            image_size=image_size,
+            max_views_per_object=max_views_per_object,
+            dataset_samples=dataset_samples,
+            seed=seed,
+            views_per_sample=views_per_sample,
+        )
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.views_per_sample = views_per_sample
+        self.num_workers = num_workers
+        self.datasets: Dict[str, ObjaverseDataset] = {}
+
+    def setup(self):
+        for split in ("train", "val", "test"):
+            self.datasets[split] = ObjaverseDataset(split=split, **self.kwargs)
+
+    def loader(self, split: str, shuffle: Optional[bool] = None) -> DataLoader:
+        if split not in self.datasets:
+            self.setup()
+        return DataLoader(
+            self.datasets[split],
+            self.tokenizer,
+            batch_size=self.batch_size,
+            views_per_sample=self.views_per_sample,
+            shuffle=shuffle if shuffle is not None else split == "train",
+            num_workers=self.num_workers,
+        )
+
+    def state_dict(self):
+        return {k: d.state_dict() for k, d in self.datasets.items()}
+
+    def load_state_dict(self, state):
+        if not self.datasets:
+            self.setup()
+        for k, s in state.items():
+            if k in self.datasets:
+                self.datasets[k].load_state_dict(s)

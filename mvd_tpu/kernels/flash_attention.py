@@ -95,7 +95,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
     acc, m_i, l_i = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
 
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
-    lse_ref[0] = (m_i + jnp.log(l_i))[:, 0]
+    lse_ref[0] = m_i + jnp.log(l_i)  # (bq, 1)
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
@@ -120,11 +120,11 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((bh, Sq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, Sq, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
@@ -142,8 +142,8 @@ def _bwd_dq_kernel(
     """dq for one (bh, q-block): dq = sum_k (P * (dO V^T - delta)) K * scale."""
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]  # (bq, 1)
     nk = _cdiv(kv_len, block_k)
 
     def body(i, dq):
@@ -177,8 +177,8 @@ def _bwd_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -216,8 +216,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     kr = k.reshape(bh, Sk, D)
     vr = v.reshape(bh, Sk, D)
     dor = do.reshape(bh, Sq, D)
-    lser = lse.reshape(bh, Sq)
-    deltar = delta.reshape(bh, Sq)
+    lser = lse.reshape(bh, Sq, 1)
+    deltar = delta.reshape(bh, Sq, 1)
 
     bq = min(block_q, Sq)
     bk = min(block_k, Sk)
@@ -230,8 +230,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i)),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, Sq, D), q.dtype),
@@ -246,8 +246,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, Sq, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Sq), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, Sq), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, Sq, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Sq, 1), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
