@@ -1,0 +1,119 @@
+"""Orbax checkpointing: train state + dataset state + config, top-k + last.
+
+The TPU-native replacement for Lightning's ModelCheckpoint setup (reference
+train.py:154-162: monitor val/noise_loss, top-k=max_checkpoints,
+save_last=True, every 1000 steps) and the DataModule state persistence
+(objaverse_dataset.py:302-337 rides inside the .ckpt).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        monitor: str = "val/noise_loss",
+        mode: str = "min",
+        save_interval_steps: int = 1000,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.monitor = monitor
+        best_fn = (lambda m: -m[self.monitor]) if mode == "min" else (
+            lambda m: m[self.monitor]
+        )
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=lambda m: best_fn(m) if m and self.monitor in m else 0.0,
+            save_interval_steps=save_interval_steps,
+            keep_checkpoints_without_metrics=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(
+        self,
+        step: int,
+        state,
+        dataset_state: Optional[Dict] = None,
+        extra: Optional[Dict[str, Any]] = None,
+        metrics: Optional[Dict[str, float]] = None,
+        force: bool = False,
+    ) -> bool:
+        payload = {
+            "state": ocp.args.StandardSave(
+                {"step": state.step, "params": state.params, "opt_state": state.opt_state}
+            ),
+        }
+        meta = dict(extra or {})
+        if dataset_state is not None:
+            meta["dataset_state"] = dataset_state
+        if meta:
+            payload["meta"] = ocp.args.JsonSave(meta)
+        saved = self._mgr.save(
+            step,
+            args=ocp.args.Composite(**payload),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+            force=force,
+        )
+        return saved
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        """Returns (state, meta_dict)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None, None
+        target = {
+            "step": state_template.step,
+            "params": state_template.params,
+            "opt_state": state_template.opt_state,
+        }
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(target),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        st = restored["state"]
+        meta = restored.get("meta") or {}
+        new_state = state_template.replace(
+            step=st["step"], params=st["params"], opt_state=st["opt_state"]
+        )
+        return new_state, meta
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params(path: str, params, config_json: Optional[str] = None):
+    """One-shot param save (for inference exports)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+    if config_json:
+        with open(os.path.join(path, "mvd_config.json"), "w") as f:
+            f.write(config_json)
+
+
+def load_params(path: str, template=None):
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
