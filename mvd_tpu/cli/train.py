@@ -1,0 +1,112 @@
+"""Training CLI (mirrors reference train.py:227-258 flags).
+
+Usage:
+    mvd-train --config config/train_config.yaml --dataset-path /data/objaverse
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import jax
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the multi-view diffusion model")
+    p.add_argument("--config", type=str, default=None, help="YAML config path")
+    p.add_argument("--dataset-path", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume")
+    p.add_argument("--output-dir", type=str, default="outputs")
+    p.add_argument("--wandb-id", type=str, default=None)
+    p.add_argument("--run-name", type=str, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--num-views", type=int, default=1,
+                   help=">1 enables joint multi-view training")
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--mesh-view", type=int, default=1,
+                   help="view-parallel mesh size (ring cross-view attention)")
+    p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
+    p.add_argument("--debug-nans", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from ..config import TINY_MODEL, TrainConfig, train_config_from_yaml
+    from ..data.objaverse import ObjaverseDataModule
+    from ..data.tokenizer import load_tokenizer
+    from ..mesh import make_mesh
+    from ..parallel import for_view_sharding
+    from ..pipeline import MVDPipeline
+    from ..utils import MetricLogger, enable_nan_debugging
+
+    if args.debug_nans:
+        enable_nan_debugging()
+
+    cfg = train_config_from_yaml(args.config) if args.config else TrainConfig()
+    if args.tiny:
+        cfg = dataclasses.replace(cfg, model=TINY_MODEL, image_size=TINY_MODEL.unet.sample_size * 8)
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    if args.image_size:
+        cfg = dataclasses.replace(cfg, image_size=args.image_size)
+    if args.max_steps:
+        cfg = dataclasses.replace(cfg, max_steps=args.max_steps)
+    cfg = dataclasses.replace(cfg, num_views=args.num_views)
+
+    n_dev = jax.device_count()
+    mesh_view = args.mesh_view
+    mesh_data = args.mesh_data or max(1, n_dev // mesh_view)
+    mesh = make_mesh(data=mesh_data, view=mesh_view)
+    view_sharded = mesh_view > 1
+    model_cfg = cfg.model
+    if args.num_views > 1:
+        model_cfg = for_view_sharding(cfg.model, args.num_views, mesh_view)
+        cfg = dataclasses.replace(cfg, model=model_cfg)
+
+    # latent size must match the training resolution
+    unet = dataclasses.replace(model_cfg.unet, sample_size=cfg.image_size // 8)
+    model_cfg = dataclasses.replace(model_cfg, unet=unet)
+    cfg = dataclasses.replace(cfg, model=model_cfg)
+
+    pipe = MVDPipeline.create(model_cfg, jax.random.PRNGKey(cfg.seed))
+
+    dataset_path = args.dataset_path or os.environ.get("MVD_DATASET_PATH", "")
+    dm = ObjaverseDataModule(
+        dataset_path,
+        pipe.tokenizer,
+        image_size=cfg.image_size,
+        batch_size=cfg.batch_size,
+        views_per_sample=max(1, args.num_views),
+        seed=cfg.seed,
+    )
+    dm.setup()
+
+    from ..train.loop import Trainer
+
+    logger = MetricLogger(
+        os.path.join(args.output_dir, "logs"),
+        run_name=args.run_name,
+        run_id=args.wandb_id,
+        config={"config": str(cfg)},
+    )
+    trainer = Trainer(
+        cfg,
+        pipe,
+        dm,
+        mesh=mesh,
+        view_sharded=view_sharded,
+        output_dir=args.output_dir,
+        logger=logger,
+    )
+    trainer.fit(resume=bool(args.resume))
+
+
+if __name__ == "__main__":
+    main()

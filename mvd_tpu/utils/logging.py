@@ -1,0 +1,124 @@
+"""Observability: metric logging, debug tracing, NaN guards.
+
+Replaces the reference's W&B plumbing (training.py:227-262, 557-717,
+train.py:95-110) and its hand-rolled file tracer (utils.py:25-34, threaded
+through the models via cross_attention_kwargs). W&B is used when the package
++ env are available; otherwise metrics stream to JSONL (always written, so
+runs are inspectable offline either way).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def create_output_dirs(base: str = "outputs") -> Dict[str, str]:
+    """Timestamped run dir with checkpoints/comparisons/samples/logs
+    (reference utils.py:8-22)."""
+    ts = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    root = os.path.join(base, ts)
+    dirs = {"root": root}
+    for sub in ("checkpoints", "comparisons", "samples", "logs"):
+        d = os.path.join(root, sub)
+        os.makedirs(d, exist_ok=True)
+        dirs[sub] = d
+    return dirs
+
+
+def log_debug(path: Optional[str], msg: str) -> None:
+    """Append-only timestamped debug tracer (reference utils.py:25-34)."""
+    if not path:
+        return
+    with open(path, "a") as f:
+        f.write(f"[{datetime.now().isoformat(timespec='milliseconds')}] {msg}\n")
+
+
+class MetricLogger:
+    """W&B when importable + configured, JSONL always."""
+
+    def __init__(
+        self,
+        log_dir: str,
+        project: str = "mvd",
+        run_name: Optional[str] = None,
+        run_id: Optional[str] = None,
+        config: Optional[Dict[str, Any]] = None,
+        use_wandb: bool = True,
+    ):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl_path = os.path.join(log_dir, "metrics.jsonl")
+        self._f = open(self.jsonl_path, "a")
+        self.wandb = None
+        self.run_id = run_id
+        if use_wandb:
+            try:
+                import wandb  # noqa: PLC0415
+
+                self.wandb = wandb.init(
+                    project=project,
+                    name=run_name,
+                    id=run_id,
+                    resume="must" if run_id else None,
+                    config=config,
+                )
+                self.run_id = self.wandb.id
+            except Exception as e:
+                logger.info("wandb unavailable (%s); JSONL only", e)
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        clean = {}
+        for k, v in metrics.items():
+            if hasattr(v, "item"):
+                try:
+                    v = float(np.asarray(v))
+                except Exception:
+                    continue
+            clean[k] = v
+        rec = {"step": step, "time": time.time(), **clean}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.wandb is not None:
+            self.wandb.log(clean, step=step)
+
+    def log_images(self, images: Dict[str, np.ndarray], step: Optional[int] = None):
+        if self.wandb is not None:
+            import wandb  # noqa: PLC0415
+
+            self.wandb.log(
+                {k: wandb.Image(np.asarray(v)) for k, v in images.items()}, step=step
+            )
+
+    def finish(self):
+        self._f.close()
+        if self.wandb is not None:
+            self.wandb.finish()
+
+
+def check_finite(tree, name: str = "tree") -> bool:
+    """Host-side NaN/Inf sweep (reference training.py:582-589's guard)."""
+    import jax
+
+    ok = True
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = np.asarray(leaf)
+        if not np.isfinite(arr).all():
+            logger.error("non-finite values in %s%s", name, jax.tree_util.keystr(path))
+            ok = False
+    return ok
+
+
+def enable_nan_debugging():
+    """jax-level NaN trap (SURVEY §5.2 plan: debug_nans as the TSAN
+    stand-in for a functional runtime)."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
