@@ -52,9 +52,12 @@ def main():
         cfg = TINY_MODEL
         res = TINY_MODEL.unet.sample_size * 8
 
+    print("bench: initializing params...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     pipe = MVDPipeline.create(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(pipe.params)
     init_s = time.perf_counter() - t0
+    print(f"bench: init done in {init_s:.1f}s; compiling pipeline...", file=sys.stderr, flush=True)
 
     cams = orbit_cameras(NUM_VIEWS)
     src = np.zeros((1, res, res, 3), np.float32)
@@ -71,9 +74,10 @@ def main():
     prompts = ["a 3d object"] * NUM_VIEWS
 
     t0 = time.perf_counter()
-    out = pipe(prompts, seed=0, **kwargs)
-    jax.block_until_ready(out["images"]) if hasattr(out["images"], "block_until_ready") else None
+    out = pipe(prompts, seed=0, output_type="jnp", **kwargs)
+    jax.block_until_ready(out["images"])
     compile_s = time.perf_counter() - t0
+    print(f"bench: first call {compile_s:.1f}s; timing...", file=sys.stderr, flush=True)
 
     n_runs = 3
     t0 = time.perf_counter()

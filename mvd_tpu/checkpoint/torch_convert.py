@@ -108,12 +108,6 @@ def _convert_tensor(parts, tensor: np.ndarray):
     return leaf, tensor
 
 
-def _norm_wrap(parts) -> Tuple[str, ...]:
-    """Our GroupNorm module nests a flax GroupNorm under 'GroupNorm_0':
-    module path (..., 'norm1') -> (..., 'norm1', 'GroupNorm_0')."""
-    return tuple(parts) + ("GroupNorm_0",)
-
-
 def convert_unet_state_dict(
     sd: Dict[str, np.ndarray], strict: bool = False
 ) -> Tuple[Dict, list]:
@@ -132,24 +126,9 @@ def convert_unet_state_dict(
         nk = _translate_unet_key(key)
         parts = tuple(nk.split("."))
         leaf, val = _convert_tensor(parts, tensor)
-
-        # GroupNorms: resnet norm1/norm2, transformer 'norm', conv_norm_out.
-        # Transformer-block norm1/2/3 are LayerNorms (plain flax LayerNorm,
-        # no wrapper) — distinguish by parent path.
-        parent = parts[-2] if len(parts) >= 2 else ""
-        in_transformer_block = any(p.startswith("transformer_blocks") for p in parts)
-        is_group = (
-            parent in ("norm1", "norm2", "conv_norm_out") and not in_transformer_block
-        ) or (parent == "norm" and not in_transformer_block)
-        path = parts[:-1] + (leaf,)
-        if is_group and tensor.ndim == 1:
-            path = _norm_wrap(parts[:-1]) + (leaf,)
-        if tensor.ndim == 1 and leaf == "scale":
-            pass  # LayerNorm scale keeps its name
-        try:
-            out[path] = val
-        except Exception as e:  # pragma: no cover
-            skipped.append((key, str(e)))
+        # Group- and LayerNorms both map weight->scale at the module path;
+        # our GroupNorm module owns its scale/bias directly.
+        out[parts[:-1] + (leaf,)] = val
     tree = unflatten_dict(out)
     return tree, skipped
 
@@ -252,10 +231,7 @@ def convert_vae_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
         parts = tuple(nk.split("."))
         leaf, val = _convert_tensor(parts, tensor)
         parent = parts[-2] if len(parts) >= 2 else ""
-        if tensor.ndim == 1 and parent in ("norm1", "norm2", "conv_norm_out", "group_norm"):
-            path = _norm_wrap(parts[:-1]) + (leaf,)
-        else:
-            path = parts[:-1] + (leaf,)
+        path = parts[:-1] + (leaf,)
         # VAE attention q/k/v/out are Linear in recent diffusers but 1x1 conv
         # (O,I,1,1) in older checkpoints — squeeze to linear
         if val.ndim == 4 and val.shape[:2] == (1, 1) and parent.startswith("to_"):

@@ -1,0 +1,139 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+The ResNet-block prologue (GroupNorm -> SiLU -> Conv) is the UNet's most
+common op sequence; the reference leans on torch's CUDA GroupNorm + eager
+SiLU (diffusers ResnetBlock2D). This kernel computes the group statistics
+and applies normalize+affine+SiLU in ONE pass through VMEM per batch row:
+
+  grid over N; per row, a first fori accumulates per-channel sum/sumsq in a
+  VMEM scratch across HW chunks, stats are folded per group in-register,
+  and a second fori re-streams the chunks applying
+  ``silu((x - mean) * rsqrt(var + eps) * gamma + beta)``.
+
+Accumulation is float32 regardless of input dtype (bf16-safe — matching
+nn/layers.GroupNorm's f32-statistics contract). Falls back to the XLA
+implementation for layouts where the kernel cannot tile well (channels not
+lane-aligned) — the fallback is also the unit-test reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def xla_groupnorm_silu(x, scale, bias, num_groups: int, eps: float = 1e-5,
+                       apply_silu: bool = True):
+    """Reference implementation: f32 stats over (H, W, C/G) per group."""
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H * W, num_groups, C // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(B, H, W, C) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, ssum, ssq,
+                    *, num_groups, eps, chunk, hw, apply_silu):
+    C = x_ref.shape[-1]
+    n_chunks = hw // chunk
+
+    # pass 1: per-channel sum / sumsq across HW
+    ssum[:] = jnp.zeros_like(ssum)
+    ssq[:] = jnp.zeros_like(ssq)
+
+    def acc(i, _):
+        blk = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        ssum[:] = ssum[:] + jnp.sum(blk, axis=0, keepdims=True)
+        ssq[:] = ssq[:] + jnp.sum(blk * blk, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, acc, 0)
+
+    # fold channels -> groups
+    cs = ssum[:].reshape(num_groups, C // num_groups)
+    cq = ssq[:].reshape(num_groups, C // num_groups)
+    n_elem = hw * (C // num_groups)
+    g_mean = jnp.sum(cs, axis=1, keepdims=True) / n_elem  # (G, 1)
+    g_var = jnp.sum(cq, axis=1, keepdims=True) / n_elem - g_mean * g_mean
+    rstd = jax.lax.rsqrt(g_var + eps)
+    # broadcast back to channels
+    mean_c = jnp.repeat(g_mean, C // num_groups, axis=1).reshape(1, C)
+    rstd_c = jnp.repeat(rstd, C // num_groups, axis=1).reshape(1, C)
+
+    gamma = scale_ref[:].astype(jnp.float32).reshape(1, C)
+    beta = bias_ref[:].astype(jnp.float32).reshape(1, C)
+    a = rstd_c * gamma
+    b = beta - mean_c * a
+
+    # pass 2: normalize + affine (+ SiLU)
+    def norm(i, _):
+        blk = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        y = blk * a + b
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * chunk, chunk), :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, norm, 0)
+
+
+def groupnorm_silu(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    apply_silu: bool = True,
+    interpret: bool = False,
+    force: bool = False,
+) -> jnp.ndarray:
+    """Fused GroupNorm+SiLU on NHWC. Dispatches to the Pallas kernel on TPU
+    when the layout tiles (C % 128 == 0, HW chunkable); XLA otherwise."""
+    B, H, W, C = x.shape
+    hw = H * W
+    usable = (C % 128 == 0) and hw % 8 == 0
+    on_tpu = jax.default_backend() == "tpu"
+    if not usable or not (on_tpu or interpret or force):
+        return xla_groupnorm_silu(x, scale, bias, num_groups, eps, apply_silu)
+
+    # chunk: largest divisor of hw keeping chunk*C*4B under ~4MB
+    chunk = hw
+    budget = 4 * 1024 * 1024 // (C * 4)
+    for cand in range(min(hw, max(8, budget)), 7, -1):
+        if hw % cand == 0:
+            chunk = cand
+            break
+
+    xr = x.reshape(B, hw, C)
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_silu_kernel,
+            num_groups=num_groups,
+            eps=eps,
+            chunk=chunk,
+            hw=hw,
+            apply_silu=apply_silu,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, hw, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((C,), lambda b: (0,)),
+            pl.BlockSpec((C,), lambda b: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, hw, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, hw, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.VMEM((1, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xr, scale, bias)
+    return out.reshape(B, H, W, C)

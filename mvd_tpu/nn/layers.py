@@ -59,22 +59,27 @@ class TimestepEmbedMLP(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with float32 statistics regardless of compute dtype."""
+    """GroupNorm with float32 statistics regardless of compute dtype.
+
+    ``fuse_silu`` folds the SiLU that follows almost every GroupNorm in the
+    UNet/VAE into the same pass; on TPU this dispatches to the fused Pallas
+    kernel (kernels/groupnorm_silu.py) when the layout tiles."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    fuse_silu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        y = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        from ..kernels.groupnorm_silu import groupnorm_silu
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return groupnorm_silu(
+            x, scale, bias, self.num_groups, self.epsilon, apply_silu=self.fuse_silu
+        )
 
 
 def normalize_ref_feature(feat: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
@@ -324,8 +329,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
         in_ch = x.shape[-1]
-        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, fuse_silu=True, name="norm1")(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
         )(h)
@@ -334,8 +338,7 @@ class ResnetBlock(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :].astype(h.dtype)
-        h = GroupNorm(self.norm_num_groups, self.norm_eps, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(self.norm_num_groups, self.norm_eps, fuse_silu=True, name="norm2")(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
         )(h)

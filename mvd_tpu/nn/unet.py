@@ -190,8 +190,9 @@ class UNet2DCondition(nn.Module):
             h = apply_film(h, film, f"up_{i}")
 
         # ----- out -----
-        h = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(
+            cfg.norm_num_groups, cfg.norm_eps, fuse_silu=True, name="conv_norm_out"
+        )(h)
         out = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)

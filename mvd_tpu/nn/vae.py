@@ -82,8 +82,7 @@ class Encoder(nn.Module):
             out_channels=ch, norm_num_groups=cfg.norm_num_groups, use_temb=False,
             dtype=self.dtype, name="mid_resnet_1",
         )(h)
-        h = GroupNorm(cfg.norm_num_groups, 1e-6, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(cfg.norm_num_groups, 1e-6, fuse_silu=True, name="conv_norm_out")(h)
         h = nn.Conv(
             2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)
@@ -120,8 +119,7 @@ class Decoder(nn.Module):
                 )(h)
             if i < len(rev) - 1:
                 h = Upsample(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
-        h = GroupNorm(cfg.norm_num_groups, 1e-6, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(cfg.norm_num_groups, 1e-6, fuse_silu=True, name="conv_norm_out")(h)
         h = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)

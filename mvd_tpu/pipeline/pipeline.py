@@ -90,7 +90,9 @@ class MVDPipeline:
         sample = jnp.zeros((1, hw, hw, config.unet.in_channels))
         ctx = jnp.zeros((1, config.text_encoder.max_length, config.unet.cross_attention_dim))
         cams = jnp.eye(4)[None]
-        mvd_params = mvd.init(
+        # jit the inits: unjitted tracing dispatches thousands of tiny ops,
+        # which is pathological on remote/tunneled device backends
+        mvd_params = jax.jit(mvd.init)(
             k1,
             sample,
             jnp.zeros((), jnp.int32),
@@ -101,9 +103,13 @@ class MVDPipeline:
         )
         vae = AutoencoderKL(config.vae)
         img_hw = min(config.vae.sample_size, 64)
-        vae_params = vae.init(k2, jnp.zeros((1, img_hw, img_hw, config.vae.in_channels)))
+        vae_params = jax.jit(vae.init)(
+            k2, jnp.zeros((1, img_hw, img_hw, config.vae.in_channels))
+        )
         te = CLIPTextEncoder(config.text_encoder)
-        te_params = te.init(k3, jnp.zeros((1, config.text_encoder.max_length), jnp.int32))
+        te_params = jax.jit(te.init)(
+            k3, jnp.zeros((1, config.text_encoder.max_length), jnp.int32)
+        )
         params = {"mvd": mvd_params, "vae": vae_params, "text_encoder": te_params}
         return cls(config, params, tokenizer)
 
