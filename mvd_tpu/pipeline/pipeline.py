@@ -86,10 +86,18 @@ class MVDPipeline:
         checkpoint/torch_convert.py to load reference weights)."""
         k1, k2, k3 = jax.random.split(rng, 3)
         hw = config.unet.sample_size
-        mvd = MultiViewUNet(config)
-        sample = jnp.zeros((1, hw, hw, config.unet.in_channels))
-        ctx = jnp.zeros((1, config.text_encoder.max_length, config.unet.cross_attention_dim))
-        cams = jnp.eye(4)[None]
+        # init outside shard_map: strip the collective view axis (the param
+        # structure is independent of it)
+        init_config = config
+        if config.unet.view_axis is not None:
+            init_config = dataclasses.replace(
+                config, unet=dataclasses.replace(config.unet, view_axis=None)
+            )
+        mvd = MultiViewUNet(init_config)
+        nb = max(1, config.unet.num_views)  # joint attention needs B % V == 0
+        sample = jnp.zeros((nb, hw, hw, config.unet.in_channels))
+        ctx = jnp.zeros((nb, config.text_encoder.max_length, config.unet.cross_attention_dim))
+        cams = jnp.tile(jnp.eye(4)[None], (nb, 1, 1))
         # jit the inits: unjitted tracing dispatches thousands of tiny ops,
         # which is pathological on remote/tunneled device backends
         mvd_params = jax.jit(mvd.init)(

@@ -169,7 +169,9 @@ class Trainer:
         if losses:
             out["val/noise_loss"] = float(np.mean(losses))
 
-        if generate and first_batch is not None:
+        # generation under view-sharding needs a shard_map'd pipeline;
+        # loss metrics still cover the val split in that mode
+        if generate and first_batch is not None and not self.view_sharded:
             out.update(self._generation_metrics(first_batch, epoch))
         if out:
             self.logger.log(out, step=int(self.state.step))
