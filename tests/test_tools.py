@@ -1,0 +1,151 @@
+"""Offline toolchain tests: contrast filter, caption pipeline (heuristic
+backend), queue mover, render output validation/zip, EDA."""
+
+import io
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.test_data import make_zip
+from tools.cleaning.filter_by_contrast import contrast_score, filter_sample, main as contrast_main
+from tools.cleaning.caption_filter import (
+    HeuristicCaptioner,
+    add_prompt_to_zip,
+    main as caption_main,
+)
+from tools.cleaning.move_unfiltered import move_unprocessed_files
+from tools.cleaning.progress_db import ProgressDB
+from tools.rendering.orchestrate import (
+    CSVLogBook,
+    validate_render_output,
+    zip_render_output,
+)
+
+
+def flat_zip(path, value=128, num_views=2, size=16):
+    """Zip whose renders are a constant color (zero contrast)."""
+    with zipfile.ZipFile(path, "w") as z:
+        for v in range(num_views):
+            img = Image.new("RGB", (size, size), (value, value, value))
+            buf = io.BytesIO()
+            img.save(buf, "PNG")
+            z.writestr(f"{v:03d}.png", buf.getvalue())
+            buf = io.BytesIO()
+            np.save(buf, np.eye(4, dtype=np.float32))
+            z.writestr(f"{v:03d}.npy", buf.getvalue())
+
+
+def test_contrast_score_flat_vs_noisy(tmp_path):
+    flat = tmp_path / "flat.zip"
+    flat_zip(flat)
+    accept, min_score, scores = filter_sample(str(flat))
+    assert not accept and min_score < 1.0
+
+    noisy = tmp_path / "noisy.zip"
+    make_zip(noisy, num_views=2, size=16)
+    accept, min_score, _ = filter_sample(str(noisy))
+    assert accept and min_score > 10.0
+
+
+def test_contrast_filter_cli_moves_and_resumes(tmp_path):
+    inp, out, rej = tmp_path / "in", tmp_path / "out", tmp_path / "rej"
+    inp.mkdir()
+    flat_zip(inp / "flat.zip")
+    make_zip(inp / "good.zip", num_views=2, size=16)
+    db = str(tmp_path / "db.sqlite")
+    contrast_main([
+        "--input-dir", str(inp), "--output-dir", str(out),
+        "--rejected-dir", str(rej), "--db", db,
+    ])
+    assert (out / "good.zip").exists()
+    assert (rej / "flat.zip").exists()
+    # resume: re-run is a no-op
+    contrast_main([
+        "--input-dir", str(inp), "--output-dir", str(out),
+        "--rejected-dir", str(rej), "--db", db,
+    ])
+
+
+def test_caption_pipeline_heuristic(tmp_path):
+    inp, out, rej = tmp_path / "in", tmp_path / "out", tmp_path / "rej"
+    inp.mkdir()
+    make_zip(inp / "obj.zip", num_views=3, size=16, prompt="old prompt")
+    flat_zip(inp / "empty.zip")
+    caption_main([
+        "--input-dir", str(inp), "--output-dir", str(out),
+        "--rejected-dir", str(rej), "--backend", "heuristic",
+        "--db", str(tmp_path / "db.sqlite"),
+    ])
+    assert (out / "obj.zip").exists()
+    assert (rej / "empty.zip").exists()
+    with zipfile.ZipFile(out / "obj.zip") as z:
+        prompt = z.read("prompt.txt").decode()
+    assert "3D object" in prompt  # injected distilled prompt replaced the old one
+
+
+def test_add_prompt_replaces_existing(tmp_path):
+    zp = tmp_path / "a.zip"
+    make_zip(zp, num_views=2, size=16, prompt="old")
+    add_prompt_to_zip(str(zp), "new prompt")
+    with zipfile.ZipFile(zp) as z:
+        assert z.read("prompt.txt").decode() == "new prompt"
+        assert sum(1 for n in z.namelist() if n.endswith("prompt.txt")) == 1
+
+
+def test_move_unprocessed(tmp_path):
+    staging, queue = tmp_path / "staging", tmp_path / "queue"
+    staging.mkdir()
+    flat_zip(staging / "a.zip")
+    flat_zip(staging / "b.zip")
+    db = ProgressDB(str(tmp_path / "db.sqlite"))
+    db.mark("a.zip", "accepted")
+    n = move_unprocessed_files(str(staging), str(queue), str(tmp_path / "db.sqlite"))
+    assert n == 1
+    assert (queue / "b.zip").exists() and (staging / "a.zip").exists()
+
+
+def test_validate_and_zip_render_output(tmp_path):
+    out = tmp_path / "render"
+    out.mkdir()
+    for i in range(3):
+        Image.new("RGB", (8, 8)).save(out / f"{i:03d}.png")
+        np.save(out / f"{i:03d}.npy", np.eye(4, dtype=np.float32))
+    (out / "num_renders.txt").write_text("3")
+    (out / "metadata.json").write_text("{}")
+    assert validate_render_output(str(out)) == 3
+
+    zp = tmp_path / "packed.zip"
+    zip_render_output(str(out), str(zp))
+    with zipfile.ZipFile(zp) as z:
+        assert "000.png" in z.namelist() and "002.npy" in z.namelist()
+
+    (out / "002.png").unlink()
+    with pytest.raises(RuntimeError):
+        validate_render_output(str(out))
+
+
+def test_csv_logbook_resume(tmp_path):
+    lb = CSVLogBook(str(tmp_path))
+    lb.success("uid1", "8 views")
+    lb.failure("uid2", "crashed")
+    assert lb.succeeded_uids() == {"uid1"}
+    lb2 = CSVLogBook(str(tmp_path))
+    assert lb2.succeeded_uids() == {"uid1"}
+
+
+def test_eda(tmp_path):
+    data = tmp_path / "data" / "renders_final"
+    data.mkdir(parents=True)
+    make_zip(data / "a.zip", num_views=3, size=16, prompt="a wooden chair model")
+    from tools.eda.analyze_corpus import main as eda_main
+
+    out = tmp_path / "eda"
+    eda_main(["--data-dir", str(tmp_path / "data"), "--output-dir", str(out)])
+    assert (out / "corpus_stats.csv").exists()
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["num_objects"] == 1
+    assert summary["view_histogram"] == {"3": 1} or summary["view_histogram"] == {3: 1}
