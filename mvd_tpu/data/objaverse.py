@@ -87,6 +87,7 @@ class ObjaverseDataset:
         test_split: float = 0.1,
         cache_dir: Optional[str] = None,
         views_per_sample: int = 1,
+        use_native: Optional[bool] = None,
     ):
         assert split in ("train", "val", "test")
         self.data_root = data_root
@@ -99,6 +100,11 @@ class ObjaverseDataset:
         self.test_split = test_split
         self.cache_dir = cache_dir or os.path.join(data_root, ".mvd_cache")
         self.views_per_sample = views_per_sample
+        if use_native is None:
+            from . import native_loader
+
+            use_native = native_loader.available()
+        self.use_native = use_native
         self.rng = random.Random(seed)
 
         self._zip_lock = threading.Lock()
@@ -201,6 +207,21 @@ class ObjaverseDataset:
             return self._zip_handles[path]
 
     def _read_view(self, zp: str, view: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.use_native:
+            from . import native_loader
+
+            try:
+                img = native_loader.load_view(zp, f"{view:03d}.png", self.image_size)
+                cam = np.load(
+                    io.BytesIO(native_loader.read_entry(zp, f"{view:03d}.npy"))
+                ).astype(np.float32)
+                if cam.shape == (3, 4):
+                    cam = np.concatenate(
+                        [cam, np.array([[0, 0, 0, 1]], np.float32)], axis=0
+                    )
+                return img, cam
+            except RuntimeError:
+                pass  # fall through to the PIL path (and its error handling)
         z = self._zip(zp)
         names = z.namelist()
         png = next(n for n in names if n.endswith(f"{view:03d}.png"))
