@@ -19,6 +19,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ref-scale", type=float, default=0.1)
     p.add_argument("--image-size", type=int, default=768)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--vgg-weights", default=None, help="torch vgg16 .pth")
+    p.add_argument("--lpips-weights", default=None, help="lpips package .pth")
+    p.add_argument("--clip-vision-weights", default=None,
+                   help="transformers CLIPVisionModel .bin/.pth")
+    p.add_argument("--fid", action="store_true", help="FID-VGG (needs --vgg-weights)")
     return p
 
 
@@ -63,6 +68,14 @@ def main(argv=None):
     max_batches = (
         None if args.num_samples is None else max(1, args.num_samples // args.batch_size)
     )
+    from ..metrics.load_towers import load_towers
+
+    towers = load_towers(
+        vgg_weights=args.vgg_weights,
+        lpips_weights=args.lpips_weights,
+        clip_vision_weights=args.clip_vision_weights,
+        with_fid=args.fid,
+    )
     overall = run_validation(
         pipe,
         dm.loader("test"),
@@ -71,6 +84,7 @@ def main(argv=None):
         guidance_scale=args.guidance_scale,
         ref_scale=args.ref_scale,
         max_batches=max_batches,
+        towers=towers,
     )
     for k, v in overall.items():
         print(f"{k}: {v}")

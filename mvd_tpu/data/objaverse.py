@@ -433,3 +433,36 @@ class ObjaverseDataModule:
         for k, s in state.items():
             if k in self.datasets:
                 self.datasets[k].load_state_dict(s)
+
+
+def visualize_sample(sample: Dict[str, np.ndarray], path: str):
+    """Source|target comparison sheet for one sample (reference
+    objaverse_dataset.py:481-535's smoke visualization)."""
+    from ..utils import save_image, side_by_side
+
+    sheet = side_by_side(
+        [(sample["source_image"] + 1) / 2, (sample["target_image"] + 1) / 2]
+    )
+    save_image(sheet, path)
+
+
+if __name__ == "__main__":
+    # smoke entry (the reference's runnable dataset main,
+    # objaverse_dataset.py:504-535): load one batch and dump a visualization
+    import argparse
+
+    from .tokenizer import HashTokenizer
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--out", default="sample_visualization.png")
+    a = ap.parse_args()
+    ds = ObjaverseDataset(a.data_root, "train", image_size=a.image_size)
+    print(f"{len(ds)} pairs, split hash {ds.split_hash}")
+    s = ds[0]
+    print({k: getattr(v, "shape", v) for k, v in s.items()})
+    visualize_sample(s, a.out)
+    dl = DataLoader(ds, HashTokenizer(), batch_size=2)
+    b = next(iter(dl))
+    print("batch:", {k: v.shape for k, v in b.items()})

@@ -34,11 +34,19 @@ def run_validation(
     max_batches: Optional[int] = None,
     save_images: bool = True,
     seed: int = 0,
+    towers: Optional[Dict] = None,
 ) -> Dict[str, float]:
+    """``towers``: optional dict with any of {"perceptual", "lpips", "clip",
+    "fid"} metric objects (mvd_tpu.metrics.towers / .fid); each is used only
+    when its weights are loaded (``.available``) — mirroring the reference's
+    metric bank with its try/except degradation (val.py:60-104,
+    losses.py:59-125)."""
+    towers = towers or {}
     os.makedirs(output_dir, exist_ok=True)
     rows: List[Dict] = []
     batch_times: List[float] = []
     n_samples = 0
+    fid = towers.get("fid")
 
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
@@ -74,6 +82,22 @@ def run_validation(
             ssim(jnp.asarray(gen), jnp.asarray(tgt), data_range=1.0, per_image=True)
         )
         mse = ((gen - tgt) ** 2).mean(axis=(1, 2, 3))
+
+        extra: Dict[str, float] = {}
+        gen_m11, tgt_m11 = gen * 2 - 1, tgt * 2 - 1
+        perc = towers.get("perceptual")
+        if perc is not None and perc.available:
+            extra["perceptual"] = float(perc(jnp.asarray(gen_m11), jnp.asarray(tgt_m11)))
+        lp = towers.get("lpips")
+        if lp is not None and lp.available:
+            extra["lpips"] = float(lp(jnp.asarray(gen_m11), jnp.asarray(tgt_m11)))
+        cs = towers.get("clip")
+        if cs is not None and cs.available:
+            extra["clip_score"] = float(cs(jnp.asarray(gen), jnp.asarray(tgt)))
+        if fid is not None and fid.available:
+            fid.update(tgt, real=True)
+            fid.update(gen, real=False)
+
         for i in range(n):
             rows.append(
                 {
@@ -83,6 +107,7 @@ def run_validation(
                     "ssim": float(s[i]),
                     "mse": float(mse[i]),
                     "inference_time_s": dt / n,
+                    **extra,
                 }
             )
         if save_images and bi < 4:
@@ -99,6 +124,12 @@ def run_validation(
             w.writerows(rows)
 
     overall: Dict[str, float] = {"num_samples": n_samples}
+    if fid is not None and fid.available and n_samples:
+        overall["fid"] = fid.compute()
+    for extra_key in ("perceptual", "lpips", "clip_score"):
+        vals = [r[extra_key] for r in rows if extra_key in r]
+        if vals:
+            overall[f"{extra_key}_mean"] = float(np.mean(vals))
     for key in ("psnr", "ssim", "mse"):
         vals = np.array([r[key] for r in rows]) if rows else np.array([0.0])
         overall[f"{key}_mean"] = float(vals.mean())

@@ -86,6 +86,37 @@ def sharded_denoise_fn(
     return fn
 
 
+def model_parallel_shardings(params, mesh: Mesh, min_dim: int = 1024):
+    """Tensor-parallel parameter shardings over the ``model`` mesh axis.
+
+    The UNet's widest matmuls (1280-wide attention projections, 5120-wide
+    GEGLU FFNs, the 1024-dim text cross-attention K/V) get their output
+    dimension sharded; GSPMD then partitions the matmuls and inserts the
+    collectives. Optional at SD2.1 scale (fits one chip — SURVEY §2.4) but
+    wired for wider variants: pass the resulting shardings as the params
+    in_sharding of any jitted step.
+    """
+    n = mesh.shape["model"]
+
+    def spec_for(x):
+        if (
+            n > 1
+            and hasattr(x, "ndim")
+            and x.ndim == 2
+            and x.shape[-1] >= min_dim
+            and x.shape[-1] % n == 0
+        ):
+            return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def shard_params_model_parallel(params, mesh: Mesh, min_dim: int = 1024):
+    shardings = model_parallel_shardings(params, mesh, min_dim)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
 def for_view_sharding(model_cfg, num_views: int, view_devices: int):
     """Return a ModelConfig whose UNet runs joint attention over
     ``num_views`` with the view axis sharded over ``view_devices`` devices."""

@@ -78,6 +78,9 @@ class Trainer:
             step=0,
         )
 
+        from .state import make_lr_schedule
+
+        self._lr_schedule = make_lr_schedule(cfg.optimizer, total)
         self.step_fn = make_train_step(
             pipe, pipe.schedule, cfg, mesh=mesh, view_sharded=view_sharded
         )
@@ -99,6 +102,10 @@ class Trainer:
         self.state = state
         if meta and meta.get("dataset_state"):
             self.dm.load_state_dict(meta["dataset_state"])
+        # experiment-identity recovery: continue the same W&B run
+        # (reference train.py:64-103's run-id-from-checkpoint dance)
+        if meta and meta.get("wandb_run_id") and self.logger.run_id is None:
+            self.logger.run_id = meta["wandb_run_id"]
         return True
 
     # ------------------------------------------------------------------
@@ -123,6 +130,7 @@ class Trainer:
                 if step % self.cfg.log_every_steps == 0:
                     metrics = {f"train/{k}": v for k, v in metrics.items()}
                     metrics["train/step_time_s"] = time.perf_counter() - t0
+                    metrics["train/lr"] = float(self._lr_schedule(step))
                     metrics["epoch"] = epoch
                     self.logger.log(metrics, step=step)
                 if step % self.cfg.checkpoint_every_steps == 0:
@@ -130,6 +138,7 @@ class Trainer:
                         step,
                         self.state,
                         dataset_state=self.dm.state_dict(),
+                        extra={"wandb_run_id": self.logger.run_id},
                         metrics=last_val or None,
                     )
                 if self.cfg.max_steps and step >= self.cfg.max_steps:
