@@ -74,6 +74,18 @@ class ViewPair:
     prompt: str
 
 
+@dataclass
+class ViewGroup:
+    """One source view conditioning V target views of the same object —
+    the joint multi-view training unit (north-star extension of the
+    reference's strictly pairwise samples, SURVEY §5.7)."""
+
+    zip_path: str
+    source_view: int
+    target_views: tuple
+    prompt: str
+
+
 class ObjaverseDataset:
     def __init__(
         self,
@@ -232,6 +244,20 @@ class ObjaverseDataset:
             cam = np.concatenate([cam, np.array([[0, 0, 0, 1]], np.float32)], axis=0)
         return img, cam
 
+    def view_groups(self, num_targets: int) -> List[ViewGroup]:
+        """Group the pair list into per-object (source, V targets) units."""
+        by_obj: Dict[Tuple[str, int], List[ViewPair]] = {}
+        for p in self.pairs:
+            by_obj.setdefault((p.zip_path, p.source_view), []).append(p)
+        groups = []
+        for (zp, src), plist in by_obj.items():
+            tgts = sorted({p.target_view for p in plist})
+            for i in range(0, len(tgts) - num_targets + 1, num_targets):
+                groups.append(
+                    ViewGroup(zp, src, tuple(tgts[i : i + num_targets]), plist[0].prompt)
+                )
+        return groups
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         """Self-healing read: 3 retries, evicting broken pairs live
         (reference objaverse_dataset.py:215-253)."""
@@ -339,17 +365,41 @@ class DataLoader:
         self.epoch = 0
 
     def __len__(self):
+        if self.V > 1:
+            return len(self.ds.view_groups(self.V)) // self.batch_size
         n = len(self.ds) // (self.batch_size * self.V)
         if not self.drop_last and len(self.ds) % (self.batch_size * self.V):
             n += 1
         return n
 
+    def _load_group(self, group: ViewGroup) -> List[Dict[str, np.ndarray]]:
+        """V samples sharing one source view (joint multi-view unit)."""
+        src_img, src_cam = self.ds._read_view(group.zip_path, group.source_view)
+        out = []
+        for tv in group.target_views:
+            tgt_img, tgt_cam = self.ds._read_view(group.zip_path, tv)
+            out.append(
+                {
+                    "source_image": src_img,
+                    "target_image": tgt_img,
+                    "source_camera": src_cam,
+                    "target_camera": tgt_cam,
+                    "prompt": group.prompt,
+                }
+            )
+        return out
+
     def __iter__(self):
-        order = list(range(len(self.ds)))
+        if self.V > 1:
+            groups = self.ds.view_groups(self.V)
+            order = list(range(len(groups)))
+        else:
+            groups = None
+            order = list(range(len(self.ds)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
-        per_batch = self.batch_size * self.V
+        per_batch = self.batch_size if groups is not None else self.batch_size * self.V
         batches = [
             order[i : i + per_batch]
             for i in range(0, len(order) - per_batch + 1, per_batch)
@@ -363,7 +413,10 @@ class DataLoader:
                 if stop.is_set():
                     return
                 try:
-                    samples = [self.ds[i] for i in bi]
+                    if groups is not None:
+                        samples = [s for i in bi for s in self._load_group(groups[i])]
+                    else:
+                        samples = [self.ds[i] for i in bi]
                     q.put(collate(samples, self.tokenizer, self.V))
                 except Exception as e:  # keep the loop alive (self-healing)
                     logger.warning("batch skipped: %s", e)

@@ -57,16 +57,21 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, ssum, ssq,
 
     jax.lax.fori_loop(0, n_chunks, acc, 0)
 
-    # fold channels -> groups
-    cs = ssum[:].reshape(num_groups, C // num_groups)
-    cq = ssq[:].reshape(num_groups, C // num_groups)
-    n_elem = hw * (C // num_groups)
-    g_mean = jnp.sum(cs, axis=1, keepdims=True) / n_elem  # (G, 1)
-    g_var = jnp.sum(cq, axis=1, keepdims=True) / n_elem - g_mean * g_mean
-    rstd = jax.lax.rsqrt(g_var + eps)
-    # broadcast back to channels
-    mean_c = jnp.repeat(g_mean, C // num_groups, axis=1).reshape(1, C)
-    rstd_c = jnp.repeat(rstd, C // num_groups, axis=1).reshape(1, C)
+    # fold channels -> groups with an indicator matmul (Mosaic-legal; no
+    # cross-lane vector reshapes): M[c, g] = 1 iff channel c is in group g
+    cpg = C // num_groups
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 0)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
+    M = (c_ids // cpg == g_ids).astype(jnp.float32)  # (C, G)
+    n_elem = hw * cpg
+    g_sum = jnp.dot(ssum[:], M, preferred_element_type=jnp.float32)  # (1, G)
+    g_sq = jnp.dot(ssq[:], M, preferred_element_type=jnp.float32)
+    g_mean = g_sum / n_elem
+    g_var = g_sq / n_elem - g_mean * g_mean
+    g_rstd = jax.lax.rsqrt(g_var + eps)
+    # broadcast back to channels: (1, G) @ (G, C)
+    mean_c = jnp.dot(g_mean, M.T, preferred_element_type=jnp.float32)  # (1, C)
+    rstd_c = jnp.dot(g_rstd, M.T, preferred_element_type=jnp.float32)
 
     gamma = scale_ref[:].astype(jnp.float32).reshape(1, C)
     beta = bias_ref[:].astype(jnp.float32).reshape(1, C)
@@ -99,14 +104,16 @@ def groupnorm_silu(
     when the layout tiles (C % 128 == 0, HW chunkable); XLA otherwise."""
     B, H, W, C = x.shape
     hw = H * W
-    usable = (C % 128 == 0) and hw % 8 == 0
+    # the in+out blocks live in VMEM: keep a comfortable margin under 16MB
+    row_bytes = hw * C * x.dtype.itemsize
+    usable = (C % 128 == 0) and hw % 8 == 0 and 2 * row_bytes < 9 * 1024 * 1024
     on_tpu = jax.default_backend() == "tpu"
     if not usable or not (on_tpu or interpret or force):
         return xla_groupnorm_silu(x, scale, bias, num_groups, eps, apply_silu)
 
-    # chunk: largest divisor of hw keeping chunk*C*4B under ~4MB
+    # chunk: largest divisor of hw keeping the f32 working set ~1MB
     chunk = hw
-    budget = 4 * 1024 * 1024 // (C * 4)
+    budget = 1024 * 1024 // (C * 4)
     for cand in range(min(hw, max(8, budget)), 7, -1):
         if hw % cand == 0:
             chunk = cand
