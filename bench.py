@@ -34,6 +34,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from mvd_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
 
     import dataclasses
@@ -73,9 +76,14 @@ def main():
     )
     prompts = ["a 3d object"] * NUM_VIEWS
 
+    def sync(x):
+        # host transfer as the completion barrier: on tunneled/async device
+        # backends block_until_ready can return before execution finishes
+        return float(jnp.sum(x))
+
     t0 = time.perf_counter()
     out = pipe(prompts, seed=0, output_type="jnp", **kwargs)
-    jax.block_until_ready(out["images"])
+    sync(out["images"])
     compile_s = time.perf_counter() - t0
     print(f"bench: first call {compile_s:.1f}s; timing...", file=sys.stderr, flush=True)
 
@@ -83,7 +91,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_runs):
         out = pipe(prompts, seed=i + 1, output_type="jnp", **kwargs)
-        jax.block_until_ready(out["images"])
+        sync(out["images"])
     dt = time.perf_counter() - t0
 
     img_per_sec = n_runs * NUM_VIEWS / dt

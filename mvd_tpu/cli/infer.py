@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     import dataclasses
 
     import jax

@@ -46,6 +46,9 @@ def main(argv=None):
     from ..pipeline import MVDPipeline
     from ..utils import MetricLogger, enable_nan_debugging
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.debug_nans:
         enable_nan_debugging()
 

@@ -102,11 +102,19 @@ def groupnorm_silu(
 ) -> jnp.ndarray:
     """Fused GroupNorm+SiLU on NHWC. Dispatches to the Pallas kernel on TPU
     when the layout tiles (C % 128 == 0, HW chunkable); XLA otherwise."""
+    import os
+
     B, H, W, C = x.shape
     hw = H * W
     # the in+out blocks live in VMEM: keep a comfortable margin under 16MB
     row_bytes = hw * C * x.dtype.itemsize
     usable = (C % 128 == 0) and hw % 8 == 0 and 2 * row_bytes < 9 * 1024 * 1024
+    # default off in the model hot path: end-to-end A/B on v5e measured the
+    # custom kernel ~2% behind XLA's own GN fusion for the SD2.1 mix of
+    # shapes (it wins 3x on isolated 640-ch rows but loses fusion context);
+    # set MVD_FUSED_GN=1 to enable.
+    if os.environ.get("MVD_FUSED_GN", "0") != "1":
+        usable = False
     on_tpu = jax.default_backend() == "tpu"
     if not usable or not (on_tpu or interpret or force):
         return xla_groupnorm_silu(x, scale, bias, num_groups, eps, apply_silu)

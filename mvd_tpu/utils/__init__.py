@@ -3,6 +3,7 @@ from .logging import (  # noqa: F401
     MetricLogger,
     check_finite,
     create_output_dirs,
+    enable_compilation_cache,
     enable_nan_debugging,
     log_debug,
 )

@@ -122,3 +122,20 @@ def enable_nan_debugging():
     import jax
 
     jax.config.update("jax_debug_nans", True)
+
+
+def enable_compilation_cache(path: Optional[str] = None):
+    """Persistent XLA compilation cache — repeat runs of the big pipeline
+    programs skip the multi-minute first compile."""
+    import jax
+
+    path = path or os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "mvd_tpu", "xla_cache",
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:
+        logger.info("compilation cache unavailable: %s", e)
