@@ -161,11 +161,8 @@ def convert_camera_encoder_state_dict(
         elif parts[0] == "output_norm":
             path = ("output_norm", leaf)
         elif parts[0] == "modulators":
-            name = parts[1]
-            path = (f"mod_{name}_{_CAM_MOD_MAP[parts[2]]}".replace("_ln", "_ln") , leaf)
-            # mod_{name}_dense_0 / mod_{name}_ln / mod_{name}_dense_1
-            sub = _CAM_MOD_MAP[parts[2]]
-            path = (f"mod_{name}_{sub}", leaf)
+            # modulators.<name>.<seq_idx> -> mod_<name>_{dense_0|ln|dense_1}
+            path = (f"mod_{parts[1]}_{_CAM_MOD_MAP[parts[2]]}", leaf)
         else:
             continue
         out[path] = val

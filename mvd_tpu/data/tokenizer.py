@@ -25,10 +25,12 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+# CLIP's tokenization regex; the upstream pattern uses \p{L}/\p{N} unicode
+# classes (regex module) — stdlib `re` approximates with ASCII classes,
+# which matches the corpus prompts this framework tokenizes.
 _PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
     re.IGNORECASE,
 )
 

@@ -86,6 +86,48 @@ def sharded_denoise_fn(
     return fn
 
 
+def make_sharded_sampler(
+    mvd_unet,
+    mesh: Mesh,
+    schedule,
+    num_inference_steps: int,
+    sampler: str = "ddpm",
+):
+    """View-sharded multi-view sampling loop (BASELINE config 4: N-view
+    joint denoising with the view axis sharded; ring cross-view attention
+    inside every step).
+
+    Returns fn(params, latents_bv, text_bv, film_bv, ref_bv, ref_scale, rng)
+    -> final latents (B, V, h, w, 4). Conditioning is precomputed (e.g. by
+    ``MultiViewUNet.prepare_conditioning`` on replicated data and reshaped
+    to (B, V, ...)). No CFG inside (multi-view generation runs guidance 1.0
+    in the reference's validation path, training.py:329-342)."""
+    from .diffusion import ddim_step, ddpm_step, inference_timesteps
+
+    denoise = sharded_denoise_fn(mvd_unet, mesh)
+    ts_grid = jnp.asarray(inference_timesteps(schedule, num_inference_steps))
+
+    def fn(params, latents, text, film=None, ref_features=None, ref_scale=None,
+           rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def body(carry, t):
+            lat, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            pred = denoise(params, lat, t, text, film, ref_features, ref_scale)
+            if sampler == "ddim":
+                lat = ddim_step(schedule, pred, t, lat, num_inference_steps)
+            else:
+                lat = ddpm_step(schedule, pred, t, lat, step_rng, num_inference_steps)
+            return (lat, rng), None
+
+        (lat, _), _ = jax.lax.scan(body, (latents, rng), ts_grid)
+        return lat
+
+    return jax.jit(fn)
+
+
 def model_parallel_shardings(params, mesh: Mesh, min_dim: int = 1024):
     """Tensor-parallel parameter shardings over the ``model`` mesh axis.
 
