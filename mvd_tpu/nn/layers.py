@@ -114,20 +114,29 @@ class CrossViewAdapter(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, hidden: jnp.ndarray, ref) -> jnp.ndarray:
+        """``ref`` is either the normalized reference features (B, Sk, C) or
+        a precomputed (k, v) tuple of (B, H, Sk, head_dim) — the K/V
+        projections are step-invariant, so the sampling pipeline hoists them
+        out of the denoise loop (MultiViewUNet.prepare_conditioning)."""
         B, S, D = hidden.shape
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q_ref")(hidden)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ref")(
-            ref.astype(hidden.dtype)
-        )
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ref")(
-            ref.astype(hidden.dtype)
-        )
-        Sk = ref.shape[1]
         q = q.reshape(B, S, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        if isinstance(ref, tuple):
+            k, v = ref
+            k = k.astype(hidden.dtype)
+            v = v.astype(hidden.dtype)
+        else:
+            Sk = ref.shape[1]
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ref")(
+                ref.astype(hidden.dtype)
+            )
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ref")(
+                ref.astype(hidden.dtype)
+            )
+            k = k.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         out = attention_dispatch(q, k, v, impl=self.attention_impl)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
         out = nn.Dense(D, dtype=self.dtype, name="to_out_ref")(out)
@@ -243,14 +252,21 @@ class BasicTransformerBlock(nn.Module):
         # 0.1 at validation, 1.0 at infer — a traced scalar avoids recompiles)
         scale = self.ref_scale if ref_scale is None else ref_scale
 
+        # per-layer ref: raw features (shared by both adapters, reference
+        # behavior) or a {"self": (k,v), "cross": (k,v)} precomputed dict
+        if isinstance(ref, dict):
+            ref_self, ref_cross = ref.get("self"), ref.get("cross")
+        else:
+            ref_self = ref_cross = ref
+
         h = ln("norm1")(x).astype(x.dtype)
         a = Attention(
             **kw, num_views=self.num_views, view_axis=self.view_axis, name="attn1"
         )(h)
         if self.with_adapters:
             adapter = CrossViewAdapter(**kw, name="adapter_self")
-            if ref is not None:
-                a = a + scale * adapter(h, ref)
+            if ref_self is not None:
+                a = a + scale * adapter(h, ref_self)
             else:
                 # keep params materialized for checkpoint-shape stability
                 _ = adapter(h[:, :1], h[:, :1]) * 0.0
@@ -260,8 +276,8 @@ class BasicTransformerBlock(nn.Module):
         a = Attention(**kw, name="attn2")(h, context)
         if self.with_adapters:
             adapter = CrossViewAdapter(**kw, name="adapter_cross")
-            if ref is not None:
-                a = a + scale * adapter(h, ref)
+            if ref_cross is not None:
+                a = a + scale * adapter(h, ref_cross)
             else:
                 _ = adapter(h[:, :1], h[:, :1]) * 0.0
         x = x + a

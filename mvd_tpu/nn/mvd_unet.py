@@ -77,6 +77,42 @@ class MultiViewUNet(nn.Module):
         _, feats = enc(source_latents, t0, encoder_hidden_states)
         return feats
 
+    def _feature_block_index(self, name: str) -> int:
+        """Feature name -> block index into num_attention_heads."""
+        n_blocks = len(self.cfg.unet.block_out_channels)
+        if name.startswith("down_block_"):
+            return int(name.split("_")[2])
+        if name.startswith("mid_block"):
+            return n_blocks - 1
+        return n_blocks - 1 - int(name.split("_")[2])  # up_block_{i}
+
+    def _precompute_adapter_kv(self, name: str, feat: jnp.ndarray):
+        """Project normalized features through the (frozen at sample time)
+        adapter K/V kernels once — they are step-invariant, so the denoise
+        scan skips 2 matmuls per adapter per step."""
+        # down_block_0_attn_1 -> down_0_attn_1 etc.
+        parts = name.split("_")
+        if name.startswith("mid_block"):
+            module = f"mid_attn_{parts[-1]}"
+        elif name.startswith("down_block"):
+            module = f"down_{parts[2]}_attn_{parts[4]}"
+        else:
+            module = f"up_{parts[2]}_attn_{parts[4]}"
+        idx = self._feature_block_index(name)
+        heads = self.cfg.unet.num_attention_heads[idx]
+        head_dim = self.cfg.unet.block_out_channels[idx] // heads
+        tparams = self.unet.variables["params"][module]["transformer_blocks_0"]
+        b, S, C = feat.shape
+        out = {}
+        for key, adapter in (("self", "adapter_self"), ("cross", "adapter_cross")):
+            kvs = []
+            for proj in ("to_k_ref", "to_v_ref"):
+                W = tparams[adapter][proj]["kernel"].astype(self._dtype)
+                t = (feat.astype(self._dtype) @ W).reshape(b, S, heads, head_dim)
+                kvs.append(t.transpose(0, 2, 1, 3))
+            out[key] = tuple(kvs)
+        return out
+
     def prepare_conditioning(
         self,
         encoder_hidden_states: jnp.ndarray,  # (B or B*, 77, D)
@@ -84,6 +120,8 @@ class MultiViewUNet(nn.Module):
         target_camera: Optional[jnp.ndarray] = None,
         source_image_latents: Optional[jnp.ndarray] = None,  # (B, h, w, 4)
         cfg_batch: Optional[int] = None,  # B* (2B under CFG); None -> cond batch
+        precompute_kv: bool = False,  # True in the sampling pipeline; False at
+        # init/training so the adapter K/V params are created by tracing
     ):
         """Compute all step-invariant conditioning ONCE: FiLM params from the
         cameras and normalized per-layer reference features from the source
@@ -119,7 +157,10 @@ class MultiViewUNet(nn.Module):
                 f = f.reshape(b, -1, f.shape[-1])
                 if cfg_batch is not None and b < cfg_batch:
                     f = jnp.concatenate([f] * (cfg_batch // b), 0)
-                ref_features[name] = f
+                if precompute_kv and self.cfg.unet.with_adapters:
+                    ref_features[name] = self._precompute_adapter_kv(name, f)
+                else:
+                    ref_features[name] = f
         return film, ref_features
 
     def denoise(

@@ -172,6 +172,7 @@ class MVDPipeline:
                 tgt_cam if has_cam else None,
                 src_latents,
                 cfg_batch=2 * B if do_cfg else B,
+                precompute_kv=True,
                 method=self.mvd_unet.prepare_conditioning,
             )
 
