@@ -51,17 +51,36 @@ GRAD_GROUPS = {
 
 
 def grad_group_norms(grads) -> Dict[str, jnp.ndarray]:
+    """Per-group gradient norms + max-abs (the reference's parameter-group
+    gradient telemetry, training.py:557-701; max-abs stands in for its
+    sampled histograms)."""
     flat = flatten_dict(grads)
     out = {}
     for name, pred in GRAD_GROUPS.items():
-        sq = [
-            jnp.sum(jnp.square(v.astype(jnp.float32)))
-            for k, v in flat.items()
-            if pred([str(p) for p in k])
-        ]
-        out[f"grad_norm/{name}"] = jnp.sqrt(sum(sq)) if sq else jnp.zeros(())
+        leaves = [v for k, v in flat.items() if pred([str(p) for p in k])]
+        if leaves:
+            sq = sum(jnp.sum(jnp.square(v.astype(jnp.float32))) for v in leaves)
+            out[f"grad_norm/{name}"] = jnp.sqrt(sq)
+            out[f"grad_max/{name}"] = jnp.max(
+                jnp.stack([jnp.max(jnp.abs(v)) for v in leaves])
+            )
+        else:
+            out[f"grad_norm/{name}"] = jnp.zeros(())
+            out[f"grad_max/{name}"] = jnp.zeros(())
     total = sum(jnp.sum(jnp.square(v.astype(jnp.float32))) for v in flat.values())
     out["grad_norm/total"] = jnp.sqrt(total)
+    return out
+
+
+def film_stats(film) -> Dict[str, jnp.ndarray]:
+    """Camera-modulation statistics (reference camera_encoder.py:230-253 /
+    training.py:703-717): per-modulator scale/shift mean and std."""
+    out = {}
+    for name, (scale, shift) in film.items():
+        out[f"modulation/{name}/scale_mean"] = scale.mean()
+        out[f"modulation/{name}/scale_std"] = scale.std()
+        out[f"modulation/{name}/shift_mean"] = shift.mean()
+        out[f"modulation/{name}/shift_std"] = shift.std()
     return out
 
 
@@ -111,6 +130,17 @@ def make_loss_fn(pipe, schedule: NoiseSchedule, cfg: TrainConfig):
             target_camera=batch.get("target_camera"),
             source_image_latents=src_lat if cfgm.use_image_conditioning else None,
         )
+        extra_metrics = {}
+        if cfgm.use_camera_conditioning and batch.get("target_camera") is not None:
+            _, film = pipe.mvd_unet.apply(
+                params,
+                jax.lax.stop_gradient(batch["source_camera"]),
+                jax.lax.stop_gradient(batch["target_camera"]),
+                method=lambda mdl, sc, tc: mdl.camera_encoder(sc, tc),
+            )
+            extra_metrics = jax.tree_util.tree_map(
+                jax.lax.stop_gradient, film_stats(film)
+            )
         ld = noise_loss(
             schedule,
             pred,
@@ -121,7 +151,7 @@ def make_loss_fn(pipe, schedule: NoiseSchedule, cfg: TrainConfig):
             use_snr=cfg.loss.use_snr_loss,
             weighting=cfg.loss.weighting,
         )
-        return ld["noise_loss"], ld
+        return ld["noise_loss"], {**ld, **extra_metrics}
 
     return loss_fn
 
