@@ -394,7 +394,10 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        # nearest x2 via broadcast+reshape (jax.image.resize lowers to
+        # gathers, which are slow on TPU for large activations)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+        x = x.reshape(B, H * 2, W * 2, C)
         return nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv"
         )(x)
