@@ -29,6 +29,17 @@ from .state import TrainState, count_params, make_optimizer, trainable_mask
 from .step import make_loss_fn, make_train_step
 
 
+def fetch_metrics(metrics: Dict[str, Any]) -> Dict[str, float]:
+    """Device metric dict -> host floats with ONE transfer (per-leaf pulls
+    are ruinous over remote/tunneled device backends)."""
+    keys = [k for k, v in metrics.items() if hasattr(v, "dtype")]
+    rest = {k: v for k, v in metrics.items() if not hasattr(v, "dtype")}
+    if not keys:
+        return dict(rest)
+    stacked = np.asarray(jnp.stack([metrics[k].astype(jnp.float32) for k in keys]))
+    return {**rest, **{k: float(v) for k, v in zip(keys, stacked)}}
+
+
 class Trainer:
     def __init__(
         self,
@@ -128,6 +139,7 @@ class Trainer:
                 )
                 step = int(self.state.step)
                 if step % self.cfg.log_every_steps == 0:
+                    metrics = fetch_metrics(metrics)
                     metrics = {f"train/{k}": v for k, v in metrics.items()}
                     metrics["train/step_time_s"] = time.perf_counter() - t0
                     metrics["train/lr"] = float(self._lr_schedule(step))
