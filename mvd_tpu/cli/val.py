@@ -23,6 +23,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lpips-weights", default=None, help="lpips package .pth")
     p.add_argument("--clip-vision-weights", default=None,
                    help="transformers CLIPVisionModel .bin/.pth")
+    p.add_argument("--inception-weights", default=None,
+                   help="pytorch-fid InceptionV3 .pth (standard FID)")
     p.add_argument("--fid", action="store_true", help="FID-VGG (needs --vgg-weights)")
     return p
 
@@ -77,6 +79,7 @@ def main(argv=None):
         vgg_weights=args.vgg_weights,
         lpips_weights=args.lpips_weights,
         clip_vision_weights=args.clip_vision_weights,
+        inception_weights=args.inception_weights,
         with_fid=args.fid,
     )
     overall = run_validation(

@@ -39,6 +39,7 @@ def load_towers(
     lpips_weights: Optional[str] = None,
     lpips_net: str = "alex",
     clip_vision_weights: Optional[str] = None,
+    inception_weights: Optional[str] = None,
     with_fid: bool = False,
 ) -> Dict:
     """Build the metric bank; towers without weight files stay unavailable
@@ -97,9 +98,19 @@ def load_towers(
             logger.warning("clip weights unusable: %s", e)
     towers["clip"] = CLIPImageScore(clip_params)
 
-    if with_fid and vgg_params is not None:
-        model = VGG16Features()
-        towers["fid"] = FID(vgg_pool_extractor(model, vgg_params))
-    else:
-        towers["fid"] = FID(None)
+    if inception_weights:
+        # standard Inception-FID (reference torchmetrics FID equivalent)
+        try:
+            from .inception import InceptionFIDExtractor, inception_from_torch
+
+            params = inception_from_torch(_torch_load(inception_weights))
+            towers["fid"] = FID(InceptionFIDExtractor(params))
+        except Exception as e:
+            logger.warning("inception weights unusable: %s", e)
+    if "fid" not in towers:
+        if with_fid and vgg_params is not None:
+            model = VGG16Features()
+            towers["fid"] = FID(vgg_pool_extractor(model, vgg_params))
+        else:
+            towers["fid"] = FID(None)
     return towers
