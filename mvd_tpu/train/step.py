@@ -232,11 +232,11 @@ def make_train_step(
         }
         return batch
 
-    jitted = jax.jit(
-        step,
-        donate_argnums=(0,),
-        in_shardings=(None, repl, None, repl),
-    )
+    # no explicit in_shardings: the batch is device_put with the
+    # (data, view) sharding up front and everything else stays replicated
+    # by construction; explicit in_shardings were observed to retrigger a
+    # second compile (input layout change after the first donated step)
+    jitted = jax.jit(step, donate_argnums=(0,))
 
     def wrapped(state, frozen, batch, rng):
         batch = shard_args(state, frozen, batch, rng)
