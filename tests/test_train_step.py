@@ -162,3 +162,11 @@ def test_min_snr_weighting_modes_match_torch():
     w = torch.minimum(snr, torch.tensor(5.0)) / snr
     want = (mse * w.mean()).item()
     np.testing.assert_allclose(float(out["noise_loss"]), want, rtol=1e-4)
+
+
+def test_fetch_metrics_single_transfer():
+    from mvd_tpu.train.loop import fetch_metrics
+
+    m = {"a": jnp.asarray(1.5), "b": jnp.asarray(2, jnp.int32), "epoch": 3}
+    out = fetch_metrics(m)
+    assert out == {"a": 1.5, "b": 2.0, "epoch": 3}
