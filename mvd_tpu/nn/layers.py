@@ -332,6 +332,39 @@ class Transformer2D(nn.Module):
         return h.reshape(B, H, W, C) + residual
 
 
+class Conv3x3(nn.Module):
+    """3x3 stride-1 SAME conv with the same param structure as nn.Conv,
+    dispatching to the shifted-matmul path (kernels/conv.py) when it wins
+    on TPU."""
+
+    out_channels: int
+    impl: str = "auto"  # auto | xla | shifted
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..kernels.conv import conv3x3_shifted, use_shifted
+
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, C, self.out_channels),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+        if use_shifted(x.shape, kernel.shape, 1, self.impl):
+            return conv3x3_shifted(x, kernel.astype(self.dtype), bias)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+
 class ResnetBlock(nn.Module):
     """SD ResnetBlock2D: pre-norm, SiLU, 3x3 convs, additive time embedding,
     1x1 shortcut on channel change."""
@@ -346,18 +379,14 @@ class ResnetBlock(nn.Module):
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
         in_ch = x.shape[-1]
         h = GroupNorm(self.norm_num_groups, self.norm_eps, fuse_silu=True, name="norm1")(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-        )(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :].astype(h.dtype)
         h = GroupNorm(self.norm_num_groups, self.norm_eps, fuse_silu=True, name="norm2")(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
-        )(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"

@@ -1,0 +1,49 @@
+"""Shifted-matmul conv vs XLA conv: forward + gradient parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mvd_tpu.kernels.conv import conv3x3_shifted, use_shifted
+
+
+def test_matches_torch_conv():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 6)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 6, 10)).astype(np.float32) * 0.1
+    b = rng.standard_normal(10).astype(np.float32)
+    got = np.asarray(conv3x3_shifted(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(w.transpose(3, 2, 0, 1)),
+        torch.from_numpy(b),
+        padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_gradients_match_xla_conv():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 6, 4))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 8)) * 0.1
+
+    def xla_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    g1 = jax.grad(lambda x, w: jnp.sum(jnp.sin(conv3x3_shifted(x, w))), (0, 1))(x, w)
+    g2 = jax.grad(lambda x, w: jnp.sum(jnp.sin(xla_conv(x, w))), (0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_dispatch_policy():
+    assert not use_shifted((1, 8, 8, 64), (3, 3, 64, 64), 1, "auto") or (
+        jax.default_backend() == "tpu"
+    )
+    assert use_shifted((1, 8, 8, 512), (3, 3, 512, 512), 1, "shifted")
+    assert not use_shifted((1, 8, 8, 512), (1, 1, 512, 512), 1, "shifted")
+    assert not use_shifted((1, 8, 8, 512), (3, 3, 512, 512), 2, "shifted")
+    assert not use_shifted((1, 8, 8, 512), (3, 3, 512, 512), 1, "xla")
