@@ -91,3 +91,31 @@ def test_batch_multi_view(pipe):
         seed=4,
     )
     assert out["images"].shape == (4, hw, hw, 3)
+
+
+def test_ddim_sampler_path():
+    import dataclasses
+
+    from mvd_tpu.config import TINY_MODEL
+
+    cfg = dataclasses.replace(
+        TINY_MODEL,
+        scheduler=dataclasses.replace(TINY_MODEL.scheduler, sampler="ddim"),
+    )
+    p = MVDPipeline.create(cfg, jax.random.PRNGKey(0))
+    out = p("a chair", num_inference_steps=2, guidance_scale=1.0, seed=0)
+    assert np.isfinite(out["images"]).all()
+    # DDIM is deterministic given the initial latents: same seed -> same image
+    out2 = p("a chair", num_inference_steps=2, guidance_scale=1.0, seed=0)
+    np.testing.assert_array_equal(out["images"], out2["images"])
+
+
+def test_num_images_per_prompt(pipe):
+    out = pipe(
+        "a chair", num_images_per_prompt=2, num_inference_steps=2,
+        guidance_scale=1.0, seed=5,
+    )
+    hw = TINY_MODEL.unet.sample_size * 8
+    assert out["images"].shape == (2, hw, hw, 3)
+    # different initial latents per image
+    assert not np.allclose(out["images"][0], out["images"][1])
