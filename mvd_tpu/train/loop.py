@@ -128,6 +128,14 @@ class Trainer:
         step = int(self.state.step)
         last_val: Dict[str, float] = {}
         stop = False
+        # fractional val_check_interval validates mid-epoch
+        # (reference train.py:197 semantics)
+        steps_per_epoch = max(1, len(self.train_loader))
+        val_every = (
+            max(1, int(steps_per_epoch * self.cfg.val_check_interval))
+            if self.cfg.val_check_interval < 1.0
+            else None
+        )
         for epoch in range(self.cfg.max_epochs):
             if stop:
                 break
@@ -153,6 +161,8 @@ class Trainer:
                         extra={"wandb_run_id": self.logger.run_id},
                         metrics=last_val or None,
                     )
+                if val_every and step % val_every == 0:
+                    last_val = self.validate(epoch, rng)
                 if self.cfg.max_steps and step >= self.cfg.max_steps:
                     stop = True
                     break
@@ -226,10 +236,14 @@ class Trainer:
             "val/gen_psnr": float(psnr(jnp.asarray(gen), jnp.asarray(tgt), data_range=1.0)),
             "val/gen_ssim": float(ssim(jnp.asarray(gen), jnp.asarray(tgt), data_range=1.0)),
         }
+        panels = {}
         for i in range(n):
             sheet = side_by_side([src[i], tgt[i], gen[i]])
             save_image(
                 sheet,
                 f"{self.dirs['comparisons']}/epoch{epoch:03d}_sample{i}.png",
             )
+            panels[f"val/comparison_{i}"] = sheet
+        # W&B image panels (reference training.py:391-394, 503-527)
+        self.logger.log_images(panels, step=int(self.state.step))
         return m
