@@ -82,3 +82,31 @@ def test_sharded_sampling_loop_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(got).reshape(lat.shape), np.asarray(lat), atol=5e-4, rtol=5e-4
     )
+
+
+def test_eight_view_sharded_denoise():
+    """BASELINE config 4 shape: 8 views, view axis over all 8 devices."""
+    mesh = make_mesh(data=1, view=8)
+    V, hw = 8, TINY_MODEL.unet.sample_size
+    cfg_u = for_view_sharding(TINY_MODEL, num_views=V, view_devices=1)
+    cfg_s = for_view_sharding(TINY_MODEL, num_views=V, view_devices=8)
+    pipe = MVDPipeline.create(cfg_u, jax.random.PRNGKey(0))
+    model_u = MultiViewUNet(cfg_u)
+    model_s = MultiViewUNet(cfg_s)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (1, V, hw, hw, 4))
+    text = jax.random.normal(jax.random.PRNGKey(2), (1, V, 77, TINY_MODEL.unet.cross_attention_dim))
+    t = jnp.asarray(500)
+
+    want = model_u.apply(
+        pipe.params["mvd"],
+        latents.reshape((V,) + latents.shape[2:]),
+        t,
+        text.reshape(V, 77, -1),
+        None, None,
+        method=model_u.denoise,
+    )
+    den = sharded_denoise_fn(model_s, mesh)
+    got = den(pipe.params["mvd"], latents, t, text, None, None, None)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(want.shape), np.asarray(want), atol=5e-4, rtol=5e-4
+    )
