@@ -164,6 +164,10 @@ class ModelConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     use_camera_conditioning: bool = True
     use_image_conditioning: bool = True
+    # Initialize adapter q/k/v/out from the frozen base attention at
+    # construction (reference attention.py:199-245 semantics). Applies to
+    # fresh inits only; checkpoint loads overwrite it either way.
+    adapter_init_from_frozen: bool = True
     dtype: str = "bfloat16"  # compute dtype; params always float32
 
 

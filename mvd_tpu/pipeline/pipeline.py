@@ -118,6 +118,10 @@ class MVDPipeline:
         te_params = jax.jit(te.init)(
             k3, jnp.zeros((1, config.text_encoder.max_length), jnp.int32)
         )
+        if config.use_image_conditioning and config.adapter_init_from_frozen:
+            from ..nn.adapter_init import init_adapters_from_frozen
+
+            mvd_params = init_adapters_from_frozen(mvd_params)
         params = {"mvd": mvd_params, "vae": vae_params, "text_encoder": te_params}
         return cls(config, params, tokenizer)
 
