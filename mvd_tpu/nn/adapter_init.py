@@ -52,16 +52,21 @@ def _adapt_kv_kernel(base_kernel: jnp.ndarray, k_in: int, k_out: int) -> jnp.nda
 
 
 def _copy_adapter(attn: Dict, adapter: Dict) -> Dict:
-    """Return new adapter params initialized from a frozen attention's."""
+    """Return new adapter params initialized from a frozen attention's.
+
+    Every copied leaf is materialized as a NEW buffer (jnp.array copy=True):
+    aliasing the frozen attention's buffer at two tree leaves breaks donated
+    train steps ("attempt to donate the same buffer twice")."""
     new = dict(adapter)
-    new["to_q_ref"] = {"kernel": attn["to_q"]["kernel"]}
+    new["to_q_ref"] = {"kernel": jnp.array(attn["to_q"]["kernel"], copy=True)}
     new["to_out_ref"] = {
-        "kernel": attn["to_out"]["kernel"],
-        "bias": attn["to_out"]["bias"],
+        "kernel": jnp.array(attn["to_out"]["kernel"], copy=True),
+        "bias": jnp.array(attn["to_out"]["bias"], copy=True),
     }
     for src, dst in (("to_k", "to_k_ref"), ("to_v", "to_v_ref")):
         k_in, k_out = adapter[dst]["kernel"].shape
-        new[dst] = {"kernel": _adapt_kv_kernel(attn[src]["kernel"], k_in, k_out)}
+        kern = _adapt_kv_kernel(attn[src]["kernel"], k_in, k_out)
+        new[dst] = {"kernel": jnp.array(kern, copy=True)}
     return new
 
 
