@@ -51,12 +51,15 @@ class Trainer:
         output_dir: Optional[str] = None,
         logger: Optional[MetricLogger] = None,
         max_duration_hours: float = 147.0,
+        image_metric_fns: Optional[Dict[str, Any]] = None,
     ):
         self.cfg = cfg
         self.pipe = pipe
         self.dm = datamodule
         self.mesh = mesh
         self.view_sharded = view_sharded
+        if view_sharded and pipe.mesh is None:
+            pipe.mesh = mesh  # route validation generation through shard_map
         self.dirs = create_output_dirs(output_dir or cfg.output_dir)
         self.logger = logger or MetricLogger(self.dirs["logs"], config={"cfg": str(cfg)})
         self.max_duration_s = max_duration_hours * 3600
@@ -64,6 +67,13 @@ class Trainer:
         self.train_loader = datamodule.loader("train")
         self.val_loader = datamodule.loader("val")
 
+        if len(self.train_loader) == 0:
+            raise ValueError(
+                "train loader is empty (0 batches) — check dataset_path "
+                f"(dataset has {len(getattr(self.train_loader, 'ds', []))} "
+                "samples; batch_size/views_per_sample may exceed it). "
+                "A silent zero-step 'run' would otherwise exit successfully."
+            )
         steps_per_epoch = max(1, len(self.train_loader))
         total = cfg.max_steps or steps_per_epoch * cfg.max_epochs
         self.total_steps = total
@@ -96,6 +106,17 @@ class Trainer:
             pipe, pipe.schedule, cfg, mesh=mesh, view_sharded=view_sharded
         )
         self.loss_fn = jax.jit(make_loss_fn(pipe, pipe.schedule, cfg))
+        # no-grad in-training metric tower (reference losses.py:209-273 +
+        # training.py:250-255), run every cfg.metrics_log_interval steps;
+        # image_metric_fns adds perceptual/CLIP tower metrics when weights
+        # exist. jit is lazy — never compiled if the interval never fires.
+        self.image_metric_fns = image_metric_fns
+        self.recon_metrics_fn = jax.jit(
+            make_loss_fn(
+                pipe, pipe.schedule, cfg,
+                with_recon_metrics=True, image_metric_fns=image_metric_fns,
+            )
+        )
 
         from ..checkpoint import CheckpointManager
 
@@ -153,6 +174,26 @@ class Trainer:
                     metrics["train/lr"] = float(self._lr_schedule(step))
                     metrics["epoch"] = epoch
                     self.logger.log(metrics, step=step)
+                if (
+                    self.cfg.metrics_log_interval
+                    and step % self.cfg.metrics_log_interval == 0
+                ):
+                    # aux reconstruction metrics on the training batch
+                    # (reference training.py:250-255)
+                    flat = {
+                        k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
+                    }
+                    _, rm = self.recon_metrics_fn(
+                        self.state.params, self.frozen, flat, step_rng
+                    )
+                    rm = fetch_metrics(rm)
+                    aux = {
+                        f"train/{k}": v
+                        for k, v in rm.items()
+                        if k.startswith(("latent_recon", "pixel_recon", "ssim"))
+                        or k in (self.image_metric_fns or {})
+                    }
+                    self.logger.log(aux, step=step)
                 if step % self.cfg.checkpoint_every_steps == 0:
                     self.ckpt.save(
                         step,
@@ -183,15 +224,20 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(
-        self, epoch: int, rng, max_batches: int = 8, generate: bool = True
+        self,
+        epoch: int,
+        rng,
+        max_batches: int = 8,
+        generate: bool = True,
+        gen_batches: int = 4,
     ) -> Dict[str, float]:
         losses = []
-        first_batch = None
+        gen_pool = []
         for i, batch in enumerate(self.val_loader):
             if i >= max_batches:
                 break
-            if first_batch is None:
-                first_batch = batch
+            if len(gen_pool) < gen_batches:
+                gen_pool.append(batch)
             flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()}
             rng, r = jax.random.split(rng)
             loss, m = self.loss_fn(self.state.params, self.frozen, flat, r)
@@ -200,50 +246,67 @@ class Trainer:
         if losses:
             out["val/noise_loss"] = float(np.mean(losses))
 
-        # generation under view-sharding needs a shard_map'd pipeline;
-        # loss metrics still cover the val split in that mode
-        if generate and first_batch is not None and not self.view_sharded:
-            out.update(self._generation_metrics(first_batch, epoch))
+        if generate and gen_pool:
+            out.update(self._generation_metrics(gen_pool, epoch))
         if out:
             self.logger.log(out, step=int(self.state.step))
         return out
 
-    def _generation_metrics(self, batch, epoch: int) -> Dict[str, float]:
-        """20-step generation on one val batch + comparison PNGs
-        (training.py:300-394)."""
+    def _generation_metrics(self, batches, epoch: int) -> Dict[str, float]:
+        """20-step generation over the validation batches + comparison PNGs.
+        The reference generates per validation batch (training.py:300-394);
+        the per-batch metrics are averaged here the same way its epoch-end
+        hook does (training.py:719-736)."""
         self.pipe.params = {**self.pipe.params, "mvd": self.state.params}
-        B, V = batch["source_image"].shape[:2]
-        n = min(2, B * V)
-        flat = {k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n] for k, v in batch.items()}
-        src = (flat["source_image"] + 1) / 2
-        res = src.shape[1]
-        result = self.pipe(
-            [""] * n,
-            num_inference_steps=20,
-            guidance_scale=1.0,
-            height=res,
-            width=res,
-            source_camera=flat["source_camera"],
-            target_camera=flat["target_camera"],
-            source_images=src,
-            ref_scale=0.1,
-            seed=epoch,
-        )
-        gen = np.asarray(result["images"])  # [0,1]
-        tgt = (flat["target_image"] + 1) / 2
-        m = {
-            "val/gen_pixel_mse": float(np.mean((gen - tgt) ** 2)),
-            "val/gen_psnr": float(psnr(jnp.asarray(gen), jnp.asarray(tgt), data_range=1.0)),
-            "val/gen_ssim": float(ssim(jnp.asarray(gen), jnp.asarray(tgt), data_range=1.0)),
-        }
+        per_batch = []
         panels = {}
-        for i in range(n):
-            sheet = side_by_side([src[i], tgt[i], gen[i]])
-            save_image(
-                sheet,
-                f"{self.dirs['comparisons']}/epoch{epoch:03d}_sample{i}.png",
+        for bi, batch in enumerate(batches):
+            B, V = batch["source_image"].shape[:2]
+            # view-sharded generation runs whole (B, V) blocks (shard_map
+            # divisibility over the mesh); unsharded keeps the batch small
+            n = B * V if self.view_sharded else min(2, B * V)
+            flat = {
+                k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n]
+                for k, v in batch.items()
+            }
+            src = (flat["source_image"] + 1) / 2
+            res = src.shape[1]
+            result = self.pipe(
+                [""] * n,
+                num_inference_steps=20,
+                guidance_scale=1.0,
+                height=res,
+                width=res,
+                source_camera=flat["source_camera"],
+                target_camera=flat["target_camera"],
+                source_images=src,
+                ref_scale=0.1,
+                seed=epoch * 1000 + bi,
             )
-            panels[f"val/comparison_{i}"] = sheet
+            gen = np.asarray(result["images"])  # [0,1]
+            tgt = (flat["target_image"] + 1) / 2
+            per_batch.append(
+                {
+                    "val/gen_pixel_mse": float(np.mean((gen - tgt) ** 2)),
+                    "val/gen_psnr": float(
+                        psnr(jnp.asarray(gen), jnp.asarray(tgt), data_range=1.0)
+                    ),
+                    "val/gen_ssim": float(
+                        ssim(jnp.asarray(gen), jnp.asarray(tgt), data_range=1.0)
+                    ),
+                }
+            )
+            if bi == 0:
+                for i in range(min(2, n)):
+                    sheet = side_by_side([src[i], tgt[i], gen[i]])
+                    save_image(
+                        sheet,
+                        f"{self.dirs['comparisons']}/epoch{epoch:03d}_sample{i}.png",
+                    )
+                    panels[f"val/comparison_{i}"] = sheet
+        m = {
+            k: float(np.mean([pb[k] for pb in per_batch])) for k in per_batch[0]
+        }
         # W&B image panels (reference training.py:391-394, 503-527)
         self.logger.log_images(panels, step=int(self.state.step))
         return m

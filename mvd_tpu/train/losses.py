@@ -78,9 +78,16 @@ def reconstruction_metrics(
     target_latents: jnp.ndarray,
     timesteps: jnp.ndarray,
     vae_decode=None,
+    image_metric_fns: Optional[Dict] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """No-grad metric tower (reference losses.py:209-261)."""
+    """No-grad metric tower (reference losses.py:209-273).
+
+    ``image_metric_fns`` maps names to fns(img_hat, img_tgt) -> scalar,
+    computed on the decoded [-1,1] images — the hook for the reference's
+    optional perceptual/CLIP/FID tower metrics when pretrained weights are
+    available (mvd_tpu/metrics/towers.py)."""
     noise_pred = jax.lax.stop_gradient(noise_pred)
+    target_latents = jax.lax.stop_gradient(target_latents)
     x0_hat = pred_original_sample(schedule, noise_pred, noisy_latents, timesteps)
     out = {
         "latent_recon_loss": jnp.mean(
@@ -96,4 +103,6 @@ def reconstruction_metrics(
         s = ssim(img_hat, img_tgt, data_range=2.0)
         out["ssim_value"] = s
         out["ssim_loss"] = 1.0 - s
+        for name, fn in (image_metric_fns or {}).items():
+            out[name] = fn(img_hat, img_tgt)
     return out

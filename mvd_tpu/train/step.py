@@ -88,8 +88,21 @@ def _flat(x):
     return x.reshape((-1,) + x.shape[2:])
 
 
-def make_loss_fn(pipe, schedule: NoiseSchedule, cfg: TrainConfig):
-    """Local (per-shard) loss over a flat-row batch."""
+def make_loss_fn(
+    pipe,
+    schedule: NoiseSchedule,
+    cfg: TrainConfig,
+    with_recon_metrics: bool = False,
+    image_metric_fns: Optional[Dict[str, Any]] = None,
+):
+    """Local (per-shard) loss over a flat-row batch.
+
+    ``with_recon_metrics`` additionally computes the no-grad reconstruction
+    metric tower (x0-hat latent/pixel recon + SSIM — reference
+    losses.py:209-261) from the same forward pass; the Trainer calls this
+    variant every ``metrics_log_interval`` steps (training.py:250-255).
+    ``image_metric_fns`` maps metric names to fns(img_hat, img_tgt) -> scalar
+    for optional tower metrics (perceptual/CLIP) when weights exist."""
     cfgm = pipe.config
     sf = cfgm.vae.scaling_factor
 
@@ -151,9 +164,75 @@ def make_loss_fn(pipe, schedule: NoiseSchedule, cfg: TrainConfig):
             use_snr=cfg.loss.use_snr_loss,
             weighting=cfg.loss.weighting,
         )
+        if with_recon_metrics:
+            from .losses import reconstruction_metrics
+
+            def vae_decode(z):
+                return pipe.vae.apply(frozen["vae"], z / sf, method=pipe.vae.decode)
+
+            rm = reconstruction_metrics(
+                schedule, pred, noisy, tgt_lat, t, vae_decode=vae_decode,
+                image_metric_fns=image_metric_fns,
+            )
+            extra_metrics = {**extra_metrics, **rm}
         return ld["noise_loss"], {**ld, **extra_metrics}
 
     return loss_fn
+
+
+def _single_compile_step(step):
+    """AOT-compile ``step`` with XLA-chosen (AUTO) layouts for the donated
+    train state, killing the historical double compile: under plain ``jit``
+    the first execution's donated outputs came back with XLA-preferred
+    layouts that differed from the default input layouts, retriggering a
+    second ~90 s full-scale compile on call 2 (CLAUDE.md "measured facts").
+    With ``Format(Layout.AUTO)`` on the state input AND the full output, XLA
+    assigns one self-consistent layout set in a single compilation; the
+    caller's initial state is relaid out once (cheap device_put) to the
+    chosen input formats, after which every donated round-trip is a layout
+    fixed point. Exposes ``wrapped.compile_count`` for tests."""
+    from jax.experimental.layout import Format, Layout
+
+    cache: Dict[Any, Any] = {}
+
+    def signature(tree):
+        flat, treedef = jax.tree_util.tree_flatten(tree)
+        return (
+            treedef,
+            tuple(
+                (x.shape, jnp.result_type(x).name) if hasattr(x, "shape") else x
+                for x in flat
+            ),
+        )
+
+    def wrapped(state, frozen, batch, rng):
+        key = signature((state, frozen, batch, rng))
+        entry = cache.get(key)
+        if entry is None:
+            auto = jax.tree_util.tree_map(lambda _: Format(Layout.AUTO), state)
+            jitted = jax.jit(
+                step,
+                donate_argnums=(0,),
+                in_shardings=(auto, None, None, None),
+                out_shardings=Format(Layout.AUTO),
+            )
+            compiled = jitted.lower(state, frozen, batch, rng).compile()
+            state_formats = compiled.input_formats[0][0]
+            cache[key] = entry = (compiled, state_formats)
+            wrapped.compile_count += 1
+        compiled, state_formats = entry
+        if state is not wrapped._last_state_out:
+            # fresh state (first call / checkpoint restore): relayout once to
+            # the XLA-chosen input formats; states produced by this step are
+            # already at the layout fixed point (out formats == in formats)
+            state = jax.tree_util.tree_map(jax.device_put, state, state_formats)
+        new_state, metrics = compiled(state, frozen, batch, rng)
+        wrapped._last_state_out = new_state
+        return new_state, metrics
+
+    wrapped.compile_count = 0
+    wrapped._last_state_out = None
+    return wrapped
 
 
 def make_train_step(
@@ -221,7 +300,7 @@ def make_train_step(
         return state, metrics
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return _single_compile_step(step)
 
     repl = NamedSharding(mesh, P())
     bv = lambda nd: NamedSharding(mesh, P("data", "view", *([None] * (nd - 2))))

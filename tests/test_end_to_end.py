@@ -41,6 +41,7 @@ def test_trainer_fit_and_resume(corpus, tmp_path):
         max_steps=3,
         checkpoint_every_steps=2,
         log_every_steps=1,
+        metrics_log_interval=2,
     )
     dm = ObjaverseDataModule(corpus, pipe.tokenizer, image_size=IMG, batch_size=2)
     dm.setup()
@@ -53,6 +54,21 @@ def test_trainer_fit_and_resume(corpus, tmp_path):
     with open(tr.logger.jsonl_path) as f:
         lines = f.read().strip().splitlines()
     assert any("train/noise_loss" in ln for ln in lines)
+    # the in-training metric tower fires at metrics_log_interval
+    # (reference losses.py:209-273, training.py:250-255)
+    import json
+
+    tower = [
+        json.loads(ln)
+        for ln in lines
+        if "train/latent_recon_loss" in ln
+    ]
+    assert tower, "recon metric tower never logged"
+    assert all(rec["step"] % cfg.metrics_log_interval == 0 for rec in tower)
+    for rec in tower:
+        assert np.isfinite(rec["train/latent_recon_loss"])
+        assert np.isfinite(rec["train/pixel_recon_loss"])
+        assert np.isfinite(rec["train/ssim_value"])
     tr.ckpt.wait()
 
     # resume restores step

@@ -110,6 +110,26 @@ def test_loss_decreases_over_steps(setup):
     assert losses[-1] < losses[0]
 
 
+def test_single_compile_over_steps(setup):
+    """The donated-layout double compile is dead: exactly ONE compile across
+    a 3-step run (VERDICT r1 task 7; CLAUDE.md measured-facts entry)."""
+    pipe, cfg = setup
+    sched = pipe.schedule
+    params0 = jax.tree_util.tree_map(jnp.copy, pipe.params["mvd"])
+    tx = make_optimizer(cfg.optimizer, params0, total_steps=30)
+    state = TrainState.create(params0, tx)
+    frozen = {"vae": pipe.params["vae"], "text_encoder": pipe.params["text_encoder"]}
+    step_fn = make_train_step(pipe, sched, cfg)
+    assert hasattr(step_fn, "compile_count")
+    hw = TINY_MODEL.unet.sample_size * 8
+    batch = make_batch(jax.random.PRNGKey(1), hw=hw)
+    for i in range(3):
+        state, m = step_fn(state, frozen, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["noise_loss"]))
+    assert step_fn.compile_count == 1
+    assert int(state.step) == 3
+
+
 def test_view_sharded_step_matches_dp(setup):
     """Same model/batch/rng: view-sharded shard_map step == unsharded step."""
     pipe, cfg = setup
