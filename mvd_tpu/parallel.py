@@ -45,16 +45,10 @@ def sharded_denoise_fn(
     def body(params, sample, t, text, film, ref_features, ref_scale):
         sample = _flatten_bv(sample)
         text = _flatten_bv(text)
-        film = (
-            None
-            if film is None
-            else {k: (_flatten_bv(s), _flatten_bv(sh)) for k, (s, sh) in film.items()}
-        )
-        ref_features = (
-            None
-            if ref_features is None
-            else {k: _flatten_bv(f) for k, f in ref_features.items()}
-        )
+        # tree_map handles both raw (B, V, S, C) features and the
+        # precomputed-K/V form ({name: {"self"/"cross": (k, v)}})
+        film = jax.tree_util.tree_map(_flatten_bv, film)
+        ref_features = jax.tree_util.tree_map(_flatten_bv, ref_features)
         out = mvd_unet.apply(
             params, sample, t, text, film, ref_features, ref_scale,
             method=mvd_unet.denoise,

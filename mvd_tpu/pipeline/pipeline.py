@@ -65,6 +65,7 @@ class MVDPipeline:
         params: Dict[str, Any],
         tokenizer=None,
         schedule: Optional[NoiseSchedule] = None,
+        mesh=None,
     ):
         self.config = config
         self.params = params
@@ -77,11 +78,33 @@ class MVDPipeline:
             max_length=config.text_encoder.max_length,
         )
         self.schedule = schedule if schedule is not None else build_schedule(config)
+        # view-sharded generation (BASELINE config 4): when the config's UNet
+        # runs joint cross-view attention with the view axis sharded
+        # (view_axis == "view") and a mesh is provided, __call__ routes the
+        # denoise loop through shard_map + ring attention. The step-invariant
+        # conditioning is computed by an unsharded twin (same params — the
+        # module structure is view-axis independent).
+        self.mesh = mesh
+        if config.unet.view_axis is not None:
+            local_cfg = dataclasses.replace(
+                config, unet=dataclasses.replace(config.unet, view_axis=None)
+            )
+            self._local_unet = MultiViewUNet(local_cfg)
+        else:
+            self._local_unet = self.mvd_unet
         self._jit_cache: Dict[Any, Any] = {}
+
+    @property
+    def view_sharded(self) -> bool:
+        return (
+            self.mesh is not None
+            and self.config.unet.view_axis is not None
+            and self.mesh.shape.get(self.config.unet.view_axis, 1) > 1
+        )
 
     # ------------------------------------------------------------------
     @classmethod
-    def create(cls, config: ModelConfig, rng: jax.Array, tokenizer=None):
+    def create(cls, config: ModelConfig, rng: jax.Array, tokenizer=None, mesh=None):
         """Random-init all params (no pretrained weights in this env; use
         checkpoint/torch_convert.py to load reference weights)."""
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -123,7 +146,7 @@ class MVDPipeline:
 
             mvd_params = init_adapters_from_frozen(mvd_params)
         params = {"mvd": mvd_params, "vae": vae_params, "text_encoder": te_params}
-        return cls(config, params, tokenizer)
+        return cls(config, params, tokenizer, mesh=mesh)
 
     # ------------------------------------------------------------------
     def encode_text(self, prompts: Union[str, List[str]]) -> jnp.ndarray:
@@ -150,6 +173,11 @@ class MVDPipeline:
         schedule = self.schedule
         ts_grid = jnp.asarray(inference_timesteps(schedule, steps))
         cfgm = self.config
+
+        if self.view_sharded:
+            jitted = self._build_sharded_generate(key)
+            self._jit_cache[key] = jitted
+            return jitted
 
         def fn(params, ids, neg_ids, latents, src_images, src_cam, tgt_cam,
                guidance_scale, ref_scale, rng):
@@ -210,6 +238,85 @@ class MVDPipeline:
         return jitted
 
     # ------------------------------------------------------------------
+    def _build_sharded_generate(self, key):
+        """View-sharded end-to-end sampler (BASELINE config 4): N-view joint
+        denoising with the view axis sharded over the mesh, ring cross-view
+        attention inside every step (reference training.py:300-343 runs this
+        generation unsharded, guidance 1.0). Conditioning is prepared by the
+        unsharded twin (per-row ops, GSPMD-partitioned), only the denoise
+        loop runs under shard_map."""
+        from ..parallel import sharded_denoise_fn
+
+        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler) = key
+        if do_cfg:
+            raise ValueError(
+                "classifier-free guidance is not supported in the view-sharded "
+                "sampling path (the reference's multi-view generation runs "
+                "guidance 1.0 — training.py:329-342); pass guidance_scale=1.0"
+            )
+        schedule = self.schedule
+        ts_grid = jnp.asarray(inference_timesteps(schedule, steps))
+        cfgm = self.config
+        V = cfgm.unet.num_views
+        if B % V:
+            raise ValueError(f"view-sharded generation needs batch % num_views == 0, got {B} % {V}")
+        denoise = sharded_denoise_fn(self.mvd_unet, self.mesh)
+
+        def fn(params, ids, neg_ids, latents, src_images, src_cam, tgt_cam,
+               guidance_scale, ref_scale, rng):
+            embeds = self.text_encoder.apply(params["text_encoder"], ids)
+
+            src_latents = None
+            if has_img:
+                rng, enc_rng = jax.random.split(rng)
+                z = self.vae.apply(
+                    params["vae"], src_images, enc_rng, True, method=self.vae.encode
+                )
+                src_latents = z * cfgm.vae.scaling_factor
+
+            film, ref_feats = self._local_unet.apply(
+                params["mvd"],
+                embeds,
+                src_cam if has_cam else None,
+                tgt_cam if has_cam else None,
+                src_latents,
+                cfg_batch=B,
+                precompute_kv=True,
+                method=self._local_unet.prepare_conditioning,
+            )
+            bv = lambda x: x.reshape((B // V, V) + x.shape[1:])
+            film_bv = jax.tree_util.tree_map(bv, film)
+            ref_bv = jax.tree_util.tree_map(bv, ref_feats)
+            text_bv = bv(embeds)
+
+            def body(carry, t):
+                lat, rng = carry
+                rng, step_rng = jax.random.split(rng)
+                pred = denoise(
+                    params["mvd"], lat, t, text_bv, film_bv, ref_bv, ref_scale
+                )
+                # scheduler step on the flat (B, ...) view so the DDPM noise
+                # draw is bit-identical to the unsharded pipeline (the merged
+                # (data x view) axis stays sharded under GSPMD)
+                flat = lambda x: x.reshape((B,) + x.shape[2:])
+                if sampler == "ddim":
+                    nxt = ddim_step(schedule, flat(pred), t, flat(lat), steps)
+                else:
+                    nxt = ddpm_step(
+                        schedule, flat(pred), t, flat(lat), step_rng, steps
+                    )
+                return (bv(nxt), rng), None
+
+            (lat, _), _ = jax.lax.scan(body, (bv(latents), rng), ts_grid)
+            lat = lat.reshape((B,) + lat.shape[2:])
+            img = self.vae.apply(
+                params["vae"], lat / cfgm.vae.scaling_factor, method=self.vae.decode
+            )
+            return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
     def __call__(
         self,
         prompt: Union[str, List[str], None] = None,
@@ -248,7 +355,14 @@ class MVDPipeline:
 
         ids = np.asarray(self.tokenizer(prompt))
         ids = np.repeat(ids, num_images_per_prompt, axis=0)
-        do_cfg = guidance_scale > 1.0 and negative_prompt is not None
+        # standard SD semantics: guidance > 1 turns CFG on, with an
+        # empty-string uncond when no negative prompt is given (the reference
+        # silently skips CFG without an explicit negative prompt —
+        # pipeline.py:64-79; that quirk made `guidance_scale=7.5` alone a
+        # no-op)
+        do_cfg = guidance_scale > 1.0
+        if do_cfg and negative_prompt is None:
+            negative_prompt = ""
         if do_cfg:
             neg = negative_prompt if isinstance(negative_prompt, list) else [negative_prompt]
             if len(neg) == 1:
