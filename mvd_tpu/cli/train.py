@@ -30,6 +30,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--mesh-view", type=int, default=1,
                    help="view-parallel mesh size (ring cross-view attention)")
+    p.add_argument("--num-slices", type=int, default=1,
+                   help=">1 builds a multi-slice (DCN) mesh: the data axis "
+                        "spans slices, view/model stay within a slice (ICI)")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     p.add_argument("--debug-nans", action="store_true")
     return p
@@ -66,7 +69,7 @@ def main(argv=None):
     n_dev = jax.device_count()
     mesh_view = args.mesh_view
     mesh_data = args.mesh_data or max(1, n_dev // mesh_view)
-    mesh = make_mesh(data=mesh_data, view=mesh_view)
+    mesh = make_mesh(data=mesh_data, view=mesh_view, num_slices=args.num_slices)
     view_sharded = mesh_view > 1
     model_cfg = cfg.model
     if args.num_views > 1:
@@ -81,11 +84,17 @@ def main(argv=None):
     pipe = MVDPipeline.create(model_cfg, jax.random.PRNGKey(cfg.seed))
 
     dataset_path = args.dataset_path or os.environ.get("MVD_DATASET_PATH", "")
+    from ..config import data_config_from_yaml, DataConfig
+
+    data_cfg = data_config_from_yaml(args.config) if args.config else DataConfig()
     dm = ObjaverseDataModule(
         dataset_path,
         pipe.tokenizer,
         image_size=cfg.image_size,
         batch_size=cfg.batch_size,
+        max_views_per_object=data_cfg.max_views_per_object,
+        dataset_samples=data_cfg.dataset_samples,
+        num_workers=data_cfg.num_workers,
         views_per_sample=max(1, args.num_views),
         seed=cfg.seed,
     )

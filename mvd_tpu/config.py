@@ -307,3 +307,20 @@ def train_config_from_yaml(path: str) -> TrainConfig:
         val_check_interval=float(_get(raw, "val_check_interval", default=1.0)),
         metrics_log_interval=int(_get(raw, "metrics_log_interval", default=50)),
     )
+
+
+def data_config_from_yaml(path: str) -> DataConfig:
+    """Dataset knobs from the same YAML (reference train.py reads
+    dataset_samples / max_views_per_object from its config — e.g.
+    train_config_all.yaml caps the corpus at 20k samples)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    samples = _get(raw, "dataset_samples", default=None)
+    return DataConfig(
+        dataset_path=str(_get(raw, "dataset_path", default="") or ""),
+        image_size=int(_get(raw, "image_size", default=768)),
+        max_views_per_object=int(_get(raw, "max_views_per_object", default=8)),
+        dataset_samples=None if samples is None else int(samples),
+        num_workers=int(_get(raw, "num_workers", default=8)),
+        seed=int(_get(raw, "seed", default=42)),
+    )

@@ -33,11 +33,52 @@ def make_mesh(
     view: int = 1,
     model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    num_slices: int = 1,
 ) -> Mesh:
+    """Build the ("data","view","model") mesh.
+
+    ``num_slices > 1`` builds a multi-slice (DCN) mesh: the data axis spans
+    slices — its outermost factor is the slice index, so the gradient
+    all-reduce decomposes into an in-slice reduce over ICI plus one
+    cross-slice reduce over DCN — while view/model stay entirely within a
+    slice (ICI-only collectives, where the per-step ring attention lives).
+    Devices are grouped by their ``slice_index`` attribute when the platform
+    reports one (real multi-slice TPU); otherwise the device list is split
+    into ``num_slices`` contiguous groups (CPU-mesh tests).
+    """
     devices = list(devices if devices is not None else jax.devices())
     need = data * view * model
     if need > len(devices):
         raise ValueError(f"mesh {data}x{view}x{model} needs {need} devices, have {len(devices)}")
+    if num_slices > 1:
+        if data % num_slices:
+            raise ValueError(
+                f"data axis ({data}) must be divisible by num_slices ({num_slices})"
+            )
+        per_slice = need // num_slices
+        if any(getattr(d, "slice_index", None) is not None for d in devices):
+            groups: Dict[int, list] = {}
+            for d in devices:
+                groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
+            slices = [groups[k] for k in sorted(groups)]
+            if len(slices) < num_slices or any(
+                len(s) < per_slice for s in slices[:num_slices]
+            ):
+                raise ValueError(
+                    f"need {num_slices} slices x {per_slice} devices, have "
+                    f"{[len(s) for s in slices]}"
+                )
+        else:
+            slices = [
+                devices[i * per_slice : (i + 1) * per_slice]
+                for i in range(num_slices)
+            ]
+        # (slice, data_in_slice, view, model) -> (data, view, model): the
+        # slice index is the outermost factor of the data axis
+        dev = np.asarray(
+            [s[:per_slice] for s in slices[:num_slices]]
+        ).reshape(num_slices, data // num_slices, view, model)
+        return Mesh(dev.reshape(data, view, model), AXES)
     dev = np.asarray(devices[:need]).reshape(data, view, model)
     return Mesh(dev, AXES)
 
@@ -48,6 +89,7 @@ def mesh_from_shape(shape: Dict[str, int], devices=None) -> Mesh:
         view=shape.get("view", 1),
         model=shape.get("model", 1),
         devices=devices,
+        num_slices=shape.get("num_slices", 1),
     )
 
 
