@@ -65,26 +65,41 @@ def xla_attention(q, k, v, scale=None):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
-    """One (bh, q-block) program: stream K/V blocks, online softmax."""
-    q = q_ref[0].astype(jnp.float32)  # (bq, d)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len,
+                kv_valid):
+    """One (bh, q-block) program: stream K/V blocks, online softmax.
+
+    ``kv_len`` is the (padded) K/V length held in the ref; ``kv_valid`` the
+    true length — tail columns beyond it are masked to -inf before the
+    softmax (zero-padded K would otherwise contribute exp(0) mass).
+
+    Precision: matmul OPERANDS stay in the input dtype (bf16 on TPU — the
+    MXU runs bf16 x bf16 -> f32 at full rate; upcasting operands to f32
+    dropped it to the ~8x slower f32 path), while softmax statistics and the
+    accumulator are f32 via ``preferred_element_type``."""
+    q = q_ref[0]  # (bq, d), input dtype
     bq = q.shape[0]
     nk = _cdiv(kv_len, block_k)
+    has_tail = kv_valid < kv_len  # static
 
     def body(i, carry):
         acc, m_i, l_i = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk)
+        )  # (bq, bk) f32
         s = s * scale
+        if has_tail:
+            col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_valid, s, -jnp.inf)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
         l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
@@ -98,7 +113,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
     lse_ref[0] = m_i + jnp.log(l_i)  # (bq, 1)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     bh = B * H
@@ -111,7 +126,9 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
     grid = (bh, _cdiv(Sq, block_q))
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, kv_len=Sk),
+        functools.partial(
+            _fwd_kernel, scale=scale, block_k=block_k, kv_len=Sk, kv_valid=kv_valid
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
@@ -139,16 +156,19 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, kv_len
 ):
-    """dq for one (bh, q-block): dq = sum_k (P * (dO V^T - delta)) K * scale."""
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    """dq for one (bh, q-block): dq = sum_k (P * (dO V^T - delta)) K * scale.
+
+    Matmul operands stay in the input dtype (full-rate MXU); softmax math and
+    the dq accumulator are f32."""
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]  # (bq, 1)
     delta = delta_ref[0]  # (bq, 1)
     nk = _cdiv(kv_len, block_k)
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -158,45 +178,51 @@ def _bwd_dq_kernel(
         )
         ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
-    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros_like(q))
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+    dq = jax.lax.fori_loop(0, nk, body, dq0)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, q_len
 ):
-    """dk/dv for one (bh, k-block): stream q-blocks."""
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    """dk/dv for one (bh, k-block): stream q-blocks.
+
+    Matmul operands stay in the input dtype (full-rate MXU); accumulators
+    f32."""
+    k = k_ref[0]
+    v = v_ref[0]
     nq = _cdiv(q_len, block_q)
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        p = jnp.exp(s - lse)  # (bq, bk)
+        p = jnp.exp(s - lse)  # (bq, bk) f32
+        pc = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return dk, dv
 
-    dk0 = jnp.zeros_like(k)
-    dv0 = jnp.zeros_like(v)
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
     dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -272,18 +298,22 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention(q, k, v, scale, block_q, block_k, interpret):
-    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention(q, k, v, scale, block_q, block_k, kv_valid, interpret):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret)
     return out
 
 
-def _flash_attention_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+def _flash_attention_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret):
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret)
     return out, (q, k, v, out, lse)
 
 
-def _flash_attention_bwd(scale, block_q, block_k, interpret, res, g):
+def _flash_attention_bwd(scale, block_q, block_k, kv_valid, interpret, res, g):
+    # No masking needed in the backward kernels: padded K/V rows are zero, so
+    # dq's ds·K contribution vanishes on them; padded q rows have dO = 0
+    # (gradient of the output slice), so their p·dO / ds contributions to
+    # dk/dv vanish; dk/dv padding rows are sliced off by the caller.
     return _flash_bwd(scale, block_q, block_k, interpret, res, g)
 
 
@@ -299,17 +329,29 @@ def flash_attention(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention on (B, H, S, D); differentiable; full (non-causal)."""
+    """Flash attention on (B, H, S, D); differentiable; full (non-causal).
+
+    Arbitrary sequence lengths: q and k/v are zero-padded up to block
+    multiples, the padded K/V columns are masked to -inf inside the forward
+    kernel, and the output is sliced back — so awkward shapes (e.g. 77-token
+    text K/V against latent queries) take the fast path instead of silently
+    falling back to XLA."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    block_q = min(block_q, q.shape[2])
-    block_k = min(block_k, k.shape[2])
-    if q.shape[2] % block_q or k.shape[2] % block_k:
-        raise ValueError(
-            f"flash_attention requires seq lens divisible by block sizes: "
-            f"Sq={q.shape[2]} bq={block_q}, Sk={k.shape[2]} bk={block_k}"
-        )
-    return _flash_attention(q, k, v, float(scale), block_q, block_k, interpret)
+    Sq, Sk = q.shape[2], k.shape[2]
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Sk, 128))
+    sq_pad = _round_up(Sq, block_q)
+    sk_pad = _round_up(Sk, block_k)
+    if sq_pad != Sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - Sq), (0, 0)))
+    if sk_pad != Sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - Sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - Sk), (0, 0)))
+    out = _flash_attention(
+        q, k, v, float(scale), block_q, block_k, int(Sk), interpret
+    )
+    return out[:, :, :Sq, :] if sq_pad != Sq else out
 
 
 def attention(
@@ -327,18 +369,11 @@ def attention(
         return flash_attention(q, k, v, scale)
     if impl == "pallas_interpret":
         return flash_attention(q, k, v, scale, interpret=True)
-    # auto
+    # auto: the kernel handles arbitrary lengths via padded + masked tails,
+    # so the only criterion is whether the sequence is long enough for the
+    # kernel to beat XLA (launch + padding overhead).
     on_tpu = jax.default_backend() == "tpu"
     Sq, Sk = q.shape[2], k.shape[2]
-
-    def _best_block(s, target=512, minimum=128):
-        for b in range(min(target, s), minimum - 1, -1):
-            if s % b == 0 and b % 128 == 0:
-                return b
-        return None
-
     if on_tpu and Sq >= _MIN_PALLAS_SEQ and Sk >= 128:
-        bq, bk = _best_block(Sq), _best_block(Sk)
-        if bq is not None and bk is not None:
-            return flash_attention(q, k, v, scale, block_q=bq, block_k=bk)
+        return flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)

@@ -24,12 +24,51 @@ def test_forward_matches_xla(sq, sk):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
 
-def test_forward_uneven_kv_blocks():
-    # kv_len not a multiple of block_k exercises the fori_loop tail handling
+def test_forward_multi_kv_blocks():
+    # multiple full K/V blocks exercise the fori_loop online-softmax merge
     q, k, v = make_qkv(jax.random.PRNGKey(1), Sq=128, Sk=256)
     want = xla_attention(q, k, v)
-    got = flash_attention(q, k, v, block_q=128, block_k=256, interpret=True)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "sq,sk",
+    [
+        (128, 77),   # text cross-attention K/V (reference pipeline.py:54-60)
+        (100, 200),  # q tail + k tail
+        (300, 130),  # multi-block with tails on both
+    ],
+)
+def test_forward_masked_tails(sq, sk):
+    """Non-block-multiple lengths: padded K/V columns are masked to -inf
+    inside the kernel (flash_attention.py tail handling)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(4), Sq=sq, Sk=sk)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_gradients_masked_tails():
+    """Grads through the padded/masked path: padded q rows get dO=0, padded
+    K/V rows are zero, so dq/dk/dv must equal the unpadded XLA reference."""
+    q, k, v = make_qkv(jax.random.PRNGKey(5), B=1, H=1, Sq=150, Sk=77)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
+        )
 
 
 def test_gradients_match_xla():
