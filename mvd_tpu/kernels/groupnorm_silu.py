@@ -30,17 +30,24 @@ def xla_groupnorm_silu(x, scale, bias, num_groups: int, eps: float = 1e-5,
                        apply_silu: bool = True):
     """XLA GroupNorm(+SiLU), TPU-layout-aware.
 
-    The textbook formulation reshapes to (..., G, C/G) and reduces over the
-    trailing C/G axis — a 4-..40-wide lane dimension on TPU, which tanks the
-    VPU (measured 30x slowdown on the VAE's 512²x128 activations). Instead:
-    per-channel sums reduced over (H, W) with C kept on the 128-lane axis,
-    then a tiny (B, C) x (C, G) indicator matmul folds channels into groups.
+    Two TPU-specific choices:
+      * per-channel sums reduced over (H, W) with C on the 128-lane axis,
+        then a tiny (B, C) x (C, G) indicator matmul folds channels into
+        groups (the textbook (..., G, C/G) reshape puts a 4..40-wide axis on
+        the lanes — measured 30x slower at the VAE's 512²x128);
+      * the activation is NEVER materialized in f32: moments come from
+        f32-ACCUMULATED contractions over the bf16 input, and the affine
+        (+SiLU) apply runs in the input dtype with per-(B,C) f32-derived
+        coefficients. The earlier ``x.astype(f32)`` formulation emitted
+        f32 copies + 0.4 TF/s loop fusions that cost ~125 of the VAE
+        decoder's 190 ms at 4x512² (profiled). f32 inputs (parity tests)
+        still compute entirely in f32.
     """
     B, H, W, C = x.shape
     cpg = C // num_groups
-    xf = x.astype(jnp.float32)
-    ch_sum = jnp.sum(xf, axis=(1, 2))  # (B, C)
-    ch_sq = jnp.sum(xf * xf, axis=(1, 2))
+    # moments: f32 accumulation, bf16 streaming
+    ch_sum = jnp.einsum("bhwc->bc", x, preferred_element_type=jnp.float32)
+    ch_sq = jnp.einsum("bhwc,bhwc->bc", x, x, preferred_element_type=jnp.float32)
     m = (
         jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 0) // cpg
         == jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
@@ -51,9 +58,11 @@ def xla_groupnorm_silu(x, scale, bias, num_groups: int, eps: float = 1e-5,
     g_rstd = jax.lax.rsqrt(g_var + eps)
     mean_c = g_mean @ m.T  # (B, C)
     rstd_c = g_rstd @ m.T
-    a = rstd_c * scale.astype(jnp.float32)  # (B, C)
+    a = rstd_c * scale.astype(jnp.float32)  # (B, C) f32
     b = bias.astype(jnp.float32) - mean_c * a
-    y = xf * a[:, None, None, :] + b[:, None, None, :]
+    a = a.astype(x.dtype)
+    b = b.astype(x.dtype)
+    y = x * a[:, None, None, :] + b[:, None, None, :]
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
