@@ -408,6 +408,18 @@ class DataLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            # bounded put that re-checks `stop`: a worker blocked forever in
+            # q.put after the consumer exits early would leak producer
+            # threads across re-iterations of the loader
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def worker(batch_indices_slice):
             for bi in batch_indices_slice:
                 if stop.is_set():
@@ -417,10 +429,11 @@ class DataLoader:
                         samples = [s for i in bi for s in self._load_group(groups[i])]
                     else:
                         samples = [self.ds[i] for i in bi]
-                    q.put(collate(samples, self.tokenizer, self.V))
+                    if not put_checked(collate(samples, self.tokenizer, self.V)):
+                        return
                 except Exception as e:  # keep the loop alive (self-healing)
                     logger.warning("batch skipped: %s", e)
-            q.put(None)
+            put_checked(None)
 
         shards = [batches[i :: self.num_workers] for i in range(self.num_workers)]
         threads = [
@@ -438,6 +451,8 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            for t in threads:
+                t.join(timeout=2.0)
 
 
 class ObjaverseDataModule:

@@ -109,6 +109,26 @@ def test_dataloader_batches(corpus):
     assert b["target_camera"].shape == (2, 1, 4, 4)
 
 
+def test_dataloader_early_exit_no_thread_leak(corpus):
+    """Abandoning iteration mid-epoch must reap producer threads (workers
+    blocked in q.put used to never see the stop event)."""
+    import threading
+    import time
+
+    ds = ObjaverseDataset(corpus, "train", image_size=16)
+    dl = DataLoader(
+        ds, HashTokenizer(), batch_size=1, views_per_sample=1, num_workers=2,
+        prefetch=1,
+    )
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(dl)
+        next(it)
+        it.close()  # GeneratorExit -> finally: stop + join
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
+
+
 def test_datamodule(corpus):
     dm = ObjaverseDataModule(corpus, HashTokenizer(), image_size=16, batch_size=2)
     dm.setup()
