@@ -103,6 +103,12 @@ def main():
         "value": round(img_per_sec, 4),
         "unit": "img/sec",
         "vs_baseline": round(img_per_sec / A100_IMG_PER_SEC_EST, 4),
+        "baseline_note": (
+            "baseline is an ENGINEERING ESTIMATE (~1.0 img/sec, torch "
+            "reference on one A100; the reference publishes no numbers and "
+            "was never run — see module docstring + BASELINE.md), not a "
+            "measurement"
+        ),
         "detail": {
             "steps_per_sec_per_chip": round(steps_per_sec, 4),
             "sec_per_4view_batch": round(dt / n_runs, 4),

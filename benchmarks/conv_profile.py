@@ -26,7 +26,10 @@ def sync_time(fn, *args, iters=30):
             out = fn(h, *rest)
             # feed a scalar back into the input to forbid loop-invariant
             # hoisting without changing the op's shape
-            h = x * (1.0 + jnp.sum(out[..., :1, :1]) * 1e-20).astype(x.dtype)
+            # FULL reduce: a sliced feedback (out[..., :1, :1]) lets XLA push
+            # the slice through the conv/dot and skip ~all of the work —
+            # round-1's "convs at 15% MXU" numbers were this artifact
+            h = x * (1.0 + jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(x.dtype)
             return h, None
         h, _ = jax.lax.scan(body, x, None, length=iters)
         return h

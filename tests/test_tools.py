@@ -149,3 +149,50 @@ def test_eda(tmp_path):
     summary = json.loads((out / "summary.json").read_text())
     assert summary["num_objects"] == 1
     assert summary["view_histogram"] == {"3": 1} or summary["view_histogram"] == {3: 1}
+
+
+def test_eda_report(tmp_path):
+    """Full report over a synthetic corpus CSV: profile HTML, LDA topics,
+    distribution plots, wordcloud (reference objaverse_report.py:75-561)."""
+    import csv as csv_mod
+    import random
+
+    rng = random.Random(0)
+    nouns = ["chair", "table", "lamp", "robot", "car", "tree", "house", "boat"]
+    adjs = ["wooden", "red", "metal", "small", "tall", "round"]
+    rows = []
+    for i in range(40):
+        prompt = f"{rng.choice(adjs)} {rng.choice(nouns)} {rng.choice(adjs)} {rng.choice(nouns)}"
+        rows.append(
+            {
+                "name": f"obj_{i}.zip",
+                "size_mb": round(rng.uniform(0.5, 5.0), 3),
+                "num_views": rng.choice([6, 8, 12]),
+                "prompt": prompt,
+                "prompt_words": len(prompt.split()),
+                "min_contrast": round(rng.uniform(5, 80), 2),
+            }
+        )
+    csv_path = tmp_path / "corpus_stats.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv_mod.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    from tools.eda.report import generate_report, lda_topics, word_frequencies
+
+    out = tmp_path / "report"
+    info = generate_report(str(csv_path), str(out))
+    assert info["rows"] == 40
+    assert (out / "profile_report.html").exists()
+    assert (out / "prompt_topics_lda.csv").exists()
+    assert (out / "distribution_size_mb.png").exists()
+    assert (out / "distribution_render_count_bar.png").exists()
+    assert (out / "wordcloud_prompts.png").exists()
+    assert (out / "scatter_prompt_words_vs_size_mb.png").exists()
+
+    topics = lda_topics([r["prompt"] for r in rows], num_topics=4)
+    assert len(topics) == 4
+    assert all(t["Top_Words"] for t in topics)
+    freqs = word_frequencies([r["prompt"] for r in rows])
+    assert freqs and all(w not in ("the", "and") for w, _ in freqs)

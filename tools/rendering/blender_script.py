@@ -169,17 +169,52 @@ def place_camera(cam, azimuth_deg: float, elevation_deg: float, radius: float):
     bpy.context.view_layer.update()
 
 
+def _linked_files():
+    """Filepaths of all linked assets: FILE-source images, material texture
+    nodes, linked libraries (reference MetadataExtractor.get_linked_files,
+    blender_script.py:779-816)."""
+    paths = set()
+    for image in bpy.data.images:
+        if image.source == "FILE":
+            paths.add(bpy.path.abspath(image.filepath))
+    for material in bpy.data.materials:
+        if material.use_nodes:
+            for node in material.node_tree.nodes:
+                if node.type == "TEX_IMAGE" and node.image is not None:
+                    paths.add(bpy.path.abspath(node.image.filepath))
+    for library in bpy.data.libraries:
+        paths.add(bpy.path.abspath(library.filepath))
+    paths.discard("")
+    return sorted(paths)
+
+
 def extract_metadata(object_path):
+    """Full scene metadata (reference MetadataExtractor.get_metadata,
+    blender_script.py:714-870: file size, poly/vert/edge counts, material/
+    object/lamp/mesh/animation counts, linked files, scene bbox, shape keys,
+    armatures)."""
     meshes = scene_mesh_objects()
-    poly_count = sum(len(o.data.polygons) for o in meshes)
-    vert_count = sum(len(o.data.vertices) for o in meshes)
-    mat_count = len(bpy.data.materials)
+    scene = bpy.context.scene
+    shape_keys = 0
+    for o in meshes:
+        if o.data.shape_keys is not None:
+            shape_keys += len(o.data.shape_keys.key_blocks) - 1  # minus Basis
+    bbox_min, bbox_max = scene_bbox()
     return {
         "object_path": object_path,
-        "poly_count": poly_count,
-        "vert_count": vert_count,
-        "material_count": mat_count,
+        "file_size": os.path.getsize(object_path) if os.path.exists(object_path) else 0,
+        "poly_count": sum(len(o.data.polygons) for o in meshes),
+        "vert_count": sum(len(o.data.vertices) for o in meshes),
+        "edge_count": sum(len(o.data.edges) for o in meshes),
+        "material_count": len(bpy.data.materials),
+        "object_count": len(bpy.data.objects),
+        "lamp_count": sum(1 for o in scene.objects if o.type == "LIGHT"),
         "mesh_count": len(meshes),
+        "animation_count": len(bpy.data.actions),
+        "linked_files": _linked_files(),
+        "scene_size": {"bbox_min": list(bbox_min), "bbox_max": list(bbox_max)},
+        "shape_key_count": shape_keys,
+        "armature_count": sum(1 for o in scene.objects if o.type == "ARMATURE"),
     }
 
 

@@ -83,7 +83,14 @@ def run_blender(
     seed: int = 0,
     timeout_s: int = 600,
     gso: bool = False,
+    gpu_index: int = None,
 ) -> None:
+    env = None
+    if gpu_index is not None:
+        # per-GPU pinning for parallel Blender renders (reference
+        # render_gso.py:151-158: CUDA_VISIBLE_DEVICES=<gpu_i>)
+        env = dict(os.environ)
+        env["CUDA_VISIBLE_DEVICES"] = str(gpu_index)
     cmd = [
         blender_bin, "--background", "--python", BLENDER_SCRIPT, "--",
         "--object-path", object_path,
@@ -95,7 +102,7 @@ def run_blender(
     if gso:
         cmd.append("--gso")
     subprocess.run(
-        cmd, check=True, timeout=timeout_s,
+        cmd, check=True, timeout=timeout_s, env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
 
@@ -137,6 +144,7 @@ def handle_found_object(
     resolution: int = 1024,
     timeout_s: int = 600,
     gso: bool = False,
+    gpu_index: int = None,
 ) -> bool:
     """Render one object end-to-end: subprocess -> validate -> zip -> move
     (reference rendering/main.py:74-195)."""
@@ -146,6 +154,7 @@ def handle_found_object(
             run_blender(
                 object_path, out, blender_bin, engine, resolution,
                 seed=abs(hash(uid)) % (2**31), timeout_s=timeout_s, gso=gso,
+                gpu_index=gpu_index,
             )
             n = validate_render_output(out)
             zip_render_output(out, os.path.join(render_dir, f"{uid}.zip"))
