@@ -47,3 +47,46 @@ def test_dispatch_policy():
     assert not use_shifted((1, 8, 8, 512), (1, 1, 512, 512), 1, "shifted")
     assert not use_shifted((1, 8, 8, 512), (3, 3, 512, 512), 2, "shifted")
     assert not use_shifted((1, 8, 8, 512), (3, 3, 512, 512), 1, "xla")
+
+
+def test_upsample_folded_matches_naive():
+    """conv3x3_after_nearest_x2 == nearest-x2 then 3x3 SAME conv (the folded
+    subpixel identity used by Upsample)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvd_tpu.nn.layers import conv3x3_after_nearest_x2
+
+    B, H, W, C, O = 2, 5, 7, 8, 12
+    kx, kk, kb = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (B, H, W, C))
+    k = jax.random.normal(kk, (3, 3, C, O)) * 0.2
+    b = jax.random.normal(kb, (O,))
+
+    up = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    up = up.reshape(B, 2 * H, 2 * W, C)
+    want = jax.lax.conv_general_dilated(
+        up, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+
+    got = conv3x3_after_nearest_x2(x, k, b)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_upsample_module_env_paths_agree(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvd_tpu.nn.layers import Upsample
+
+    m = Upsample(out_channels=6)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 3))
+    params = m.init(jax.random.PRNGKey(2), x)
+    got = m.apply(params, x)
+    monkeypatch.setenv("MVD_NAIVE_UPSAMPLE", "1")
+    want = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
