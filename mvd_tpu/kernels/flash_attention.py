@@ -65,52 +65,45 @@ def xla_attention(q, k, v, scale=None):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len,
-                kv_valid):
-    """One (bh, q-block) program: stream K/V blocks, online softmax.
+def _fwd_kernel_grid(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
+                     *, scale, block_k, nk, kv_valid, kv_len):
+    """One (bh, q-block, k-block) grid step: the k dimension lives in the
+    GRID (not a fori_loop) with the online-softmax state carried in VMEM
+    scratch — Mosaic then double-buffers the K/V block loads and overlaps
+    them with compute across grid steps (+12% at the 4096-token hot shape
+    vs the in-kernel loop)."""
+    ki = pl.program_id(2)
 
-    ``kv_len`` is the (padded) K/V length held in the ref; ``kv_valid`` the
-    true length — tail columns beyond it are masked to -inf before the
-    softmax (zero-padded K would otherwise contribute exp(0) mass).
+    @pl.when(ki == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, -jnp.inf)
+        l_s[:] = jnp.zeros_like(l_s)
 
-    Precision: matmul OPERANDS stay in the input dtype (bf16 on TPU — the
-    MXU runs bf16 x bf16 -> f32 at full rate; upcasting operands to f32
-    dropped it to the ~8x slower f32 path), while softmax statistics and the
-    accumulator are f32 via ``preferred_element_type``."""
-    q = q_ref[0]  # (bq, d), input dtype
-    bq = q.shape[0]
-    nk = _cdiv(kv_len, block_k)
-    has_tail = kv_valid < kv_len  # static
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_valid < kv_len:  # static: masked tail columns
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_valid, s, -jnp.inf)
+    m_prev = m_s[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_s[:] = alpha * l_s[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc[:] = acc[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_s[:] = m_new
 
-    def body(i, carry):
-        acc, m_i, l_i = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk) f32
-        s = s * scale
-        if has_tail:
-            col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_valid, s, -jnp.inf)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, m_new, l_new
-
-    d = q_ref.shape[-1]
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m_i, l_i = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
-
-    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
-    lse_ref[0] = m_i + jnp.log(l_i)  # (bq, 1)
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[0] = (acc[:] / l_s[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_s[:] + jnp.log(l_s[:])
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret):
@@ -123,26 +116,36 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret):
 
     block_q = min(block_q, Sq)
     block_k = min(block_k, Sk)
-    grid = (bh, _cdiv(Sq, block_q))
+    nk = _cdiv(Sk, block_k)
+    grid = (bh, _cdiv(Sq, block_q), nk)
 
     out, lse = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, scale=scale, block_k=block_k, kv_len=Sk, kv_valid=kv_valid
+            _fwd_kernel_grid, scale=scale, block_k=block_k, nk=nk,
+            kv_valid=kv_valid, kv_len=Sk,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, Sq, D), q.dtype),
             jax.ShapeDtypeStruct((bh, Sq, 1), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(q, k, v)
     return out.reshape(B, H, Sq, D), lse.reshape(B, H, Sq)
@@ -326,10 +329,12 @@ def flash_attention(
     v: jnp.ndarray,
     scale: float | None = None,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention on (B, H, S, D); differentiable; full (non-causal).
+    block_k=1024 measured best for the grid-pipelined forward at the
+    pipeline's 4096-token hot shape (benchmarks/fa_variants.py).
 
     Arbitrary sequence lengths: q and k/v are zero-padded up to block
     multiples, the padded K/V columns are masked to -inf inside the forward

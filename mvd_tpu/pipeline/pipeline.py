@@ -39,6 +39,15 @@ from ..nn import AutoencoderKL, CLIPTextEncoder, MultiViewUNet
 from ..data.tokenizer import load_tokenizer
 
 
+def _signed_range(img: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] -> [-1,1] iff the data is in [0,1] (reference pipeline.py:107),
+    decided with TRACED min/max so device-resident inputs never bounce
+    through the host (a host probe costs a full tunnel round-trip)."""
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    return jnp.where((lo >= 0) & (hi <= 1), 2 * img - 1, img)
+
+
 def build_schedule(cfg: ModelConfig) -> NoiseSchedule:
     s = cfg.scheduler
     base = NoiseSchedule.create(
@@ -169,7 +178,7 @@ class MVDPipeline:
         signature."""
         if key in self._jit_cache:
             return self._jit_cache[key]
-        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler) = key
+        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler, gen_latents) = key
         schedule = self.schedule
         ts_grid = jnp.asarray(inference_timesteps(schedule, steps))
         cfgm = self.config
@@ -181,6 +190,12 @@ class MVDPipeline:
 
         def fn(params, ids, neg_ids, latents, src_images, src_cam, tgt_cam,
                guidance_scale, ref_scale, rng):
+            rng, lat_rng = jax.random.split(rng)
+            if gen_latents:
+                latents = (
+                    jax.random.normal(lat_rng, (B, lat_h, lat_w, 4), jnp.float32)
+                    * schedule.init_noise_sigma
+                )
             text = self.text_encoder.apply(params["text_encoder"], ids)
             if do_cfg:
                 uncond = self.text_encoder.apply(params["text_encoder"], neg_ids)
@@ -192,6 +207,7 @@ class MVDPipeline:
             src_latents = None
             if has_img:
                 rng, enc_rng = jax.random.split(rng)
+                src_images = _signed_range(src_images)
                 z = self.vae.apply(
                     params["vae"], src_images, enc_rng, True, method=self.vae.encode
                 )
@@ -247,7 +263,7 @@ class MVDPipeline:
         loop runs under shard_map."""
         from ..parallel import sharded_denoise_fn
 
-        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler) = key
+        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler, gen_latents) = key
         if do_cfg:
             raise ValueError(
                 "classifier-free guidance is not supported in the view-sharded "
@@ -264,11 +280,18 @@ class MVDPipeline:
 
         def fn(params, ids, neg_ids, latents, src_images, src_cam, tgt_cam,
                guidance_scale, ref_scale, rng):
+            rng, lat_rng = jax.random.split(rng)
+            if gen_latents:
+                latents = (
+                    jax.random.normal(lat_rng, (B, lat_h, lat_w, 4), jnp.float32)
+                    * schedule.init_noise_sigma
+                )
             embeds = self.text_encoder.apply(params["text_encoder"], ids)
 
             src_latents = None
             if has_img:
                 rng, enc_rng = jax.random.split(rng)
+                src_images = _signed_range(src_images)
                 z = self.vae.apply(
                     params["vae"], src_images, enc_rng, True, method=self.vae.encode
                 )
@@ -351,7 +374,6 @@ class MVDPipeline:
 
         if rng is None:
             rng = jax.random.PRNGKey(seed)
-        rng, lat_rng = jax.random.split(rng)
 
         ids = np.asarray(self.tokenizer(prompt))
         ids = np.repeat(ids, num_images_per_prompt, axis=0)
@@ -371,24 +393,28 @@ class MVDPipeline:
         else:
             neg_ids = np.zeros_like(ids)
 
-        if latents is None:
-            latents = (
-                jax.random.normal(lat_rng, (B, lat_h, lat_w, 4), jnp.float32)
-                * self.schedule.init_noise_sigma
-            )
+        # latents are drawn INSIDE the jitted fn (one fewer host dispatch per
+        # call — each costs a tunnel round-trip) unless the caller provides
+        # them explicitly
+        gen_latents = latents is None
+        if gen_latents:
+            latents = np.zeros((1,), np.float32)  # ignored placeholder
 
         has_img = cfg.use_image_conditioning and source_images is not None
         has_cam = cfg.use_camera_conditioning and target_camera is not None
 
+        # shape-only host logic: device-resident inputs are never pulled to
+        # the host (the [0,1] range probe now runs traced, in _signed_range)
         src_images = np.zeros((B, height, width, 3), np.float32)
         if has_img:
-            src = np.asarray(source_images, np.float32)
+            src = source_images
+            if not isinstance(src, jax.Array):
+                src = np.asarray(src, np.float32)
+            xp = jnp if isinstance(src, jax.Array) else np
             if src.ndim == 3:
                 src = src[None]
-            if src.min() >= 0 and src.max() <= 1:  # [0,1] -> [-1,1] (pipeline.py:107)
-                src = 2 * src - 1
             if src.shape[0] < B:
-                src = np.tile(src, (B // src.shape[0], 1, 1, 1))
+                src = xp.tile(src, (B // src.shape[0], 1, 1, 1))
             src_images = src
 
         def prep_cam(c):
@@ -407,7 +433,7 @@ class MVDPipeline:
 
         key = (
             B, lat_h, lat_w, num_inference_steps, do_cfg, has_img, has_cam,
-            cfg.scheduler.sampler,
+            cfg.scheduler.sampler, gen_latents,
         )
         fn = self._generate_fn(key)
         images = fn(
@@ -415,7 +441,7 @@ class MVDPipeline:
             jnp.asarray(ids),
             jnp.asarray(neg_ids),
             latents,
-            jnp.asarray(src_images),
+            src_images if isinstance(src_images, jax.Array) else jnp.asarray(src_images),
             jnp.asarray(src_cam),
             jnp.asarray(tgt_cam),
             jnp.float32(guidance_scale),
