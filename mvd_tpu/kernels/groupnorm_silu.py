@@ -43,8 +43,14 @@ def xla_groupnorm_silu(x, scale, bias, num_groups: int, eps: float = 1e-5,
         decoder's 190 ms at 4x512² (profiled). f32 inputs (parity tests)
         still compute entirely in f32.
     """
+    import os
+
     B, H, W, C = x.shape
     cpg = C // num_groups
+    if os.environ.get("MVD_GN_BARRIER", "0") == "1":
+        # decouple the producer (conv) from the moment reduces: fused
+        # together XLA emits (f32, f32) tuple conv outputs + layout copies
+        x = jax.lax.optimization_barrier(x)
     # moments: f32 accumulation, bf16 streaming
     ch_sum = jnp.einsum("bhwc->bc", x, preferred_element_type=jnp.float32)
     ch_sq = jnp.einsum("bhwc,bhwc->bc", x, x, preferred_element_type=jnp.float32)

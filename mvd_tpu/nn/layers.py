@@ -82,6 +82,29 @@ class GroupNorm(nn.Module):
         )
 
 
+class StreamingLayerNorm(nn.Module):
+    """LayerNorm with f32 row statistics but WITHOUT materializing the
+    activation in f32: means/variances come from dtype-accumulated reduces,
+    the normalize+affine applies in the input dtype (per-row f32-derived
+    scalars). Same param structure (scale/bias) as nn.LayerNorm. The
+    nn.LayerNorm(dtype=f32) + astype(bf16) formulation emits full-size f32
+    intermediates on TPU — the same pathology profiled for GroupNorm."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        sq = jnp.mean(x * x, axis=-1, keepdims=True, dtype=jnp.float32)
+        var = jnp.maximum(sq - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 def normalize_ref_feature(feat: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Adapter K/V pre-normalization (reference attention.py:95-103).
 
@@ -239,9 +262,7 @@ class BasicTransformerBlock(nn.Module):
         ref: Optional[jnp.ndarray] = None,
         ref_scale: Optional[jnp.ndarray] = None,
     ):
-        ln = lambda name: nn.LayerNorm(
-            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name=name
-        )
+        ln = lambda name: StreamingLayerNorm(epsilon=1e-5, name=name)
         kw = dict(
             heads=self.heads,
             head_dim=self.head_dim,
