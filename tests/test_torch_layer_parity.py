@@ -63,12 +63,12 @@ def assert_same_structure(converted, init_params, path=""):
 class TResnetBlock(tnn.Module):
     """diffusers ResnetBlock2D (SD variant: pre-norm, SiLU, additive temb)."""
 
-    def __init__(self, in_ch, out_ch, temb_ch):
+    def __init__(self, in_ch, out_ch, temb_ch, groups=32):
         super().__init__()
-        self.norm1 = tnn.GroupNorm(32, in_ch, eps=1e-5)
+        self.norm1 = tnn.GroupNorm(groups, in_ch, eps=1e-5)
         self.conv1 = tnn.Conv2d(in_ch, out_ch, 3, padding=1)
         self.time_emb_proj = tnn.Linear(temb_ch, out_ch)
-        self.norm2 = tnn.GroupNorm(32, out_ch, eps=1e-5)
+        self.norm2 = tnn.GroupNorm(groups, out_ch, eps=1e-5)
         self.conv2 = tnn.Conv2d(out_ch, out_ch, 3, padding=1)
         self.conv_shortcut = (
             tnn.Conv2d(in_ch, out_ch, 1) if in_ch != out_ch else None
@@ -170,9 +170,9 @@ class TBasicBlock(tnn.Module):
 class TTransformer2D(tnn.Module):
     """Transformer2DModel with use_linear_projection=True (SD2.x)."""
 
-    def __init__(self, dim, ctx_dim, heads, with_adapters=False):
+    def __init__(self, dim, ctx_dim, heads, with_adapters=False, groups=32):
         super().__init__()
-        self.norm = tnn.GroupNorm(32, dim, eps=1e-6)
+        self.norm = tnn.GroupNorm(groups, dim, eps=1e-6)
         self.proj_in = tnn.Linear(dim, dim)
         self.transformer_blocks = tnn.ModuleList(
             [TBasicBlock(dim, ctx_dim, heads, with_adapters)]
@@ -339,3 +339,155 @@ def test_clip_layer_parity():
     got = fm.apply({"params": params}, xj, mj)
     db = snr_db(want, np.asarray(got))
     assert db >= 60, f"CLIPLayer parity {db:.1f} dB < 60"
+
+
+# ---------------------------------------------------------------------------
+# full tiny-UNet composition: end-to-end parity without diffusers
+# ---------------------------------------------------------------------------
+
+
+def t_timestep_embedding(t, dim):
+    """diffusers get_timestep_embedding (flip_sin_to_cos=True, shift=0)."""
+    half = dim // 2
+    exponent = -math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half
+    emb = t[:, None].float() * exponent.exp()[None]
+    return torch.cat([emb.cos(), emb.sin()], dim=-1)
+
+
+class TUNet(tnn.Module):
+    """UNet2DConditionModel skeleton composed from the blocks above, with
+    diffusers' state-dict key layout (down_blocks.i.resnets.j etc.), so the
+    whole convert_unet_state_dict translation + skip ordering + timestep
+    embedding path is exercised end-to-end."""
+
+    def __init__(self, cfg, ctx_dim):
+        super().__init__()
+        ch = cfg.block_out_channels
+        g = cfg.norm_num_groups
+        temb_ch = ch[0] * 4
+        self.cfg = cfg
+        self.conv_in = tnn.Conv2d(cfg.in_channels, ch[0], 3, padding=1)
+        self.time_embedding = tnn.Module()
+        self.time_embedding.linear_1 = tnn.Linear(ch[0], temb_ch)
+        self.time_embedding.linear_2 = tnn.Linear(temb_ch, temb_ch)
+
+        skip_ch = [ch[0]]
+        self.down_blocks = tnn.ModuleList()
+        cur = ch[0]
+        for i, btype in enumerate(cfg.down_block_types):
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList()
+            has_attn = btype == "CrossAttnDownBlock2D"
+            if has_attn:
+                blk.attentions = tnn.ModuleList()
+            for j in range(cfg.layers_per_block):
+                blk.resnets.append(TResnetBlock(cur, ch[i], temb_ch, g))
+                cur = ch[i]
+                if has_attn:
+                    blk.attentions.append(
+                        TTransformer2D(ch[i], ctx_dim, cfg.num_attention_heads[i], groups=g)
+                    )
+                skip_ch.append(cur)
+            if i < len(cfg.down_block_types) - 1:
+                ds = tnn.Module()
+                ds.conv = tnn.Conv2d(cur, cur, 3, stride=2, padding=1)
+                blk.downsamplers = tnn.ModuleList([ds])
+                skip_ch.append(cur)
+            self.down_blocks.append(blk)
+
+        self.mid_block = tnn.Module()
+        self.mid_block.resnets = tnn.ModuleList(
+            [TResnetBlock(cur, ch[-1], temb_ch, g), TResnetBlock(ch[-1], ch[-1], temb_ch, g)]
+        )
+        self.mid_block.attentions = tnn.ModuleList(
+            [TTransformer2D(ch[-1], ctx_dim, cfg.num_attention_heads[-1], groups=g)]
+        )
+        cur = ch[-1]
+
+        rev = list(reversed(ch))
+        self.up_blocks = tnn.ModuleList()
+        for i, btype in enumerate(cfg.up_block_types):
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList()
+            has_attn = btype == "CrossAttnUpBlock2D"
+            if has_attn:
+                blk.attentions = tnn.ModuleList()
+            ai = len(ch) - 1 - i
+            for j in range(cfg.layers_per_block + 1):
+                s = skip_ch.pop()
+                blk.resnets.append(TResnetBlock(cur + s, rev[i], temb_ch, g))
+                cur = rev[i]
+                if has_attn:
+                    blk.attentions.append(
+                        TTransformer2D(rev[i], ctx_dim, cfg.num_attention_heads[ai], groups=g)
+                    )
+            if i < len(cfg.up_block_types) - 1:
+                us = tnn.Module()
+                us.conv = tnn.Conv2d(cur, cur, 3, padding=1)
+                blk.upsamplers = tnn.ModuleList([us])
+            self.up_blocks.append(blk)
+
+        self.conv_norm_out = tnn.GroupNorm(g, ch[0], eps=cfg.norm_eps)
+        self.conv_out = tnn.Conv2d(ch[0], cfg.out_channels, 3, padding=1)
+
+    def forward(self, x, t, ctx):
+        temb = self.time_embedding.linear_2(
+            F.silu(self.time_embedding.linear_1(t_timestep_embedding(t, self.cfg.block_out_channels[0])))
+        )
+        h = self.conv_in(x)
+        skips = [h]
+        for i, blk in enumerate(self.down_blocks):
+            for j, rn in enumerate(blk.resnets):
+                h = rn(h, temb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+                skips.append(h)
+            if hasattr(blk, "downsamplers"):
+                h = blk.downsamplers[0].conv(h)
+                skips.append(h)
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h, ctx)
+        h = self.mid_block.resnets[1](h, temb)
+        for i, blk in enumerate(self.up_blocks):
+            for j, rn in enumerate(blk.resnets):
+                h = torch.cat([h, skips.pop()], dim=1)
+                h = rn(h, temb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+            if hasattr(blk, "upsamplers"):
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                h = blk.upsamplers[0].conv(h)
+        h = F.silu(self.conv_norm_out(h))
+        return self.conv_out(h)
+
+
+def test_full_unet_parity():
+    """Whole tiny UNet: torch composition -> convert_unet_state_dict ->
+    UNet2DCondition, >=60 dB. Covers block-rule key translation, timestep
+    embedding, skip ordering, down/upsample paths in one shot."""
+    from mvd_tpu.config import TINY_UNET
+    from mvd_tpu.nn.unet import UNet2DCondition
+
+    cfg = dataclasses.replace(TINY_UNET, with_adapters=False, attention_impl="xla")
+    ctx_dim = cfg.cross_attention_dim
+    tm = TUNet(cfg, ctx_dim).eval()
+    B, hw = 2, cfg.sample_size
+    x = torch.randn(B, cfg.in_channels, hw, hw)
+    t = torch.tensor([123, 800])
+    ctx = torch.randn(B, 7, ctx_dim)
+    with torch.no_grad():
+        want = tm(x, t, ctx).permute(0, 2, 3, 1).numpy()
+
+    tree, skipped = convert_unet_state_dict(to_np_sd(tm))
+    assert not skipped
+
+    fm = UNet2DCondition(cfg)
+    xj = jnp.asarray(x.permute(0, 2, 3, 1).numpy())
+    tj = jnp.asarray(t.numpy())
+    cj = jnp.asarray(ctx.numpy())
+    init = fm.init(jax.random.PRNGKey(0), xj, tj, cj)["params"]
+    assert_same_structure(tree, init)
+    got, feats = fm.apply({"params": tree}, xj, tj, cj)
+    db = snr_db(want, np.asarray(got))
+    assert db >= 60, f"full UNet parity {db:.1f} dB < 60"
+    assert "down_block_0_attn_0" in feats and "mid_block_attn_0" in feats
