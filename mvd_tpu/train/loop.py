@@ -26,7 +26,7 @@ from ..config import TrainConfig
 from ..metrics.image import psnr, ssim
 from ..utils import MetricLogger, create_output_dirs, save_image, side_by_side
 from .state import TrainState, count_params, make_optimizer, trainable_mask
-from .step import make_loss_fn, make_train_step
+from .step import make_eval_fn, make_train_step
 
 
 def fetch_metrics(metrics: Dict[str, Any]) -> Dict[str, float]:
@@ -105,17 +105,20 @@ class Trainer:
         self.step_fn = make_train_step(
             pipe, pipe.schedule, cfg, mesh=mesh, view_sharded=view_sharded
         )
-        self.loss_fn = jax.jit(make_loss_fn(pipe, pipe.schedule, cfg))
+        # grad-free eval over (B, V, ...) batches — shard_map'd when the
+        # model's view axis is sharded (a bare jitted loss would hit an
+        # unbound axis name there)
+        self.loss_fn = make_eval_fn(
+            pipe, pipe.schedule, cfg, mesh=mesh, view_sharded=view_sharded
+        )
         # no-grad in-training metric tower (reference losses.py:209-273 +
         # training.py:250-255), run every cfg.metrics_log_interval steps;
         # image_metric_fns adds perceptual/CLIP tower metrics when weights
         # exist. jit is lazy — never compiled if the interval never fires.
         self.image_metric_fns = image_metric_fns
-        self.recon_metrics_fn = jax.jit(
-            make_loss_fn(
-                pipe, pipe.schedule, cfg,
-                with_recon_metrics=True, image_metric_fns=image_metric_fns,
-            )
+        self.recon_metrics_fn = make_eval_fn(
+            pipe, pipe.schedule, cfg, mesh=mesh, view_sharded=view_sharded,
+            with_recon_metrics=True, image_metric_fns=image_metric_fns,
         )
 
         from ..checkpoint import CheckpointManager
@@ -180,11 +183,8 @@ class Trainer:
                 ):
                     # aux reconstruction metrics on the training batch
                     # (reference training.py:250-255)
-                    flat = {
-                        k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
-                    }
                     _, rm = self.recon_metrics_fn(
-                        self.state.params, self.frozen, flat, step_rng
+                        self.state.params, self.frozen, batch, step_rng
                     )
                     rm = fetch_metrics(rm)
                     aux = {
@@ -238,9 +238,8 @@ class Trainer:
                 break
             if len(gen_pool) < gen_batches:
                 gen_pool.append(batch)
-            flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()}
             rng, r = jax.random.split(rng)
-            loss, m = self.loss_fn(self.state.params, self.frozen, flat, r)
+            loss, m = self.loss_fn(self.state.params, self.frozen, batch, r)
             losses.append(float(loss))
         out: Dict[str, float] = {}
         if losses:

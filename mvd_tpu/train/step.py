@@ -235,6 +235,65 @@ def _single_compile_step(step):
     return wrapped
 
 
+def make_eval_fn(
+    pipe,
+    schedule: NoiseSchedule,
+    cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+    view_sharded: bool = False,
+    with_recon_metrics: bool = False,
+    image_metric_fns: Optional[Dict[str, Any]] = None,
+):
+    """Grad-free loss/metric evaluation over (B, V, ...) batches.
+
+    Mirrors make_train_step's parallelism: under view sharding the model
+    carries a bound view axis (ring attention), so the loss MUST run inside
+    shard_map — applying it directly (as a bare jitted loss_fn would) hits
+    an unbound axis name."""
+    loss_fn = make_loss_fn(
+        pipe, schedule, cfg,
+        with_recon_metrics=with_recon_metrics, image_metric_fns=image_metric_fns,
+    )
+
+    if not view_sharded:
+        def eval_fn(params, frozen, batch, rng):
+            flat_batch = {k: _flat(v) for k, v in batch.items()}
+            return loss_fn(params, frozen, flat_batch, rng)
+
+        return jax.jit(eval_fn)
+
+    assert mesh is not None and pipe.config.unet.view_axis == "view"
+
+    def local_eval(params, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, lax.axis_index("data"))
+        rng = jax.random.fold_in(rng, lax.axis_index("view"))
+        flat_batch = {k: _flat(v) for k, v in batch.items()}
+        loss, metrics = loss_fn(params, frozen, flat_batch, rng)
+        loss = lax.pmean(loss, ("data", "view"))
+        metrics = jax.tree_util.tree_map(
+            lambda m: lax.pmean(m, ("data", "view")), metrics
+        )
+        return loss, metrics
+
+    def global_eval(params, frozen, batch, rng):
+        bv = lambda nd: P("data", "view", *([None] * (nd - 2)))
+        mapped = shard_map(
+            local_eval,
+            mesh=mesh,
+            in_specs=(
+                P(),
+                P(),
+                jax.tree_util.tree_map(lambda x: bv(x.ndim), batch),
+                P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return mapped(params, frozen, batch, rng)
+
+    return jax.jit(global_eval)
+
+
 def make_train_step(
     pipe,
     schedule: NoiseSchedule,

@@ -190,3 +190,46 @@ def test_fetch_metrics_single_transfer():
     m = {"a": jnp.asarray(1.5), "b": jnp.asarray(2, jnp.int32), "epoch": 3}
     out = fetch_metrics(m)
     assert out == {"a": 1.5, "b": 2.0, "epoch": 3}
+
+
+def test_view_sharded_trainer_validate(tmp_path):
+    """Trainer.validate under view sharding: the eval loss runs inside
+    shard_map (a bare jitted loss hits an unbound view axis — round-2
+    regression fix) and generation routes through the sharded pipeline."""
+    from mvd_tpu.parallel import for_view_sharding
+    from mvd_tpu.train.loop import Trainer
+
+    V = 2
+    mesh = make_mesh(data=4, view=V)
+    cfg_s = for_view_sharding(TINY_MODEL, num_views=V, view_devices=V)
+    pipe = MVDPipeline.create(cfg_s, jax.random.PRNGKey(0), mesh=mesh)
+    hw = TINY_MODEL.unet.sample_size * 8
+    batches = [make_batch(jax.random.PRNGKey(7), B=4, V=V, hw=hw)]
+
+    class FakeDM:
+        def loader(self, split, **kw):
+            return batches
+
+        def state_dict(self):
+            return {}
+
+        def load_state_dict(self, s):
+            pass
+
+    cfg = TrainConfig(
+        model=cfg_s,
+        loss=LossConfig(),
+        optimizer=OptimizerConfig(),
+        batch_size=4,
+        num_views=V,
+        image_size=hw,
+        max_epochs=1,
+        max_steps=1,
+    )
+    tr = Trainer(
+        cfg, pipe, FakeDM(), mesh=mesh, view_sharded=True,
+        output_dir=str(tmp_path / "run"),
+    )
+    out = tr.validate(0, jax.random.PRNGKey(1), gen_batches=1)
+    assert np.isfinite(out["val/noise_loss"])
+    assert "val/gen_psnr" in out and np.isfinite(out["val/gen_psnr"])
