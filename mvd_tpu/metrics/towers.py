@@ -154,6 +154,7 @@ class CLIPVisionEncoder(nn.Module):
     patch_size: int = 14
     image_size: int = 224
     projection_dim: int = 768
+    hidden_act: str = "gelu"  # laion CLIP-H; "quick_gelu" for OpenAI CLIP-L
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -186,6 +187,7 @@ class CLIPVisionEncoder(nn.Module):
             num_layers=self.num_layers,
             num_heads=self.num_heads,
             intermediate_size=self.intermediate_size,
+            hidden_act=self.hidden_act,
         )
         mask = jnp.zeros((1, 1, x.shape[1], x.shape[1]), jnp.float32)
         for i in range(self.num_layers):

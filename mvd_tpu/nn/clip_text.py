@@ -54,7 +54,11 @@ class CLIPLayer(nn.Module):
         x = x + CLIPAttention(cfg, self.dtype, name="self_attn")(h, mask)
         h = ln("layer_norm2")(x).astype(x.dtype)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        if cfg.hidden_act == "quick_gelu":
+            # OpenAI CLIP (ViT-L et al.): x * sigmoid(1.702 x)
+            h = h * nn.sigmoid(1.702 * h)
+        else:  # "gelu" — OpenCLIP ViT-H text tower shipped with SD2.1
+            h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
         return x + h
 
