@@ -169,6 +169,10 @@ class Trainer:
                 self.state, metrics = self.step_fn(
                     self.state, self.frozen, batch, step_rng
                 )
+                hists = {k: metrics[k] for k in metrics if k.startswith("hist/")}
+                metrics = {
+                    k: v for k, v in metrics.items() if not k.startswith("hist/")
+                }
                 step = int(self.state.step)
                 if step % self.cfg.log_every_steps == 0:
                     metrics = fetch_metrics(metrics)
@@ -194,6 +198,16 @@ class Trainer:
                         or k in (self.image_metric_fns or {})
                     }
                     self.logger.log(aux, step=step)
+                    if hists:
+                        # per-group raw-gradient histograms
+                        # (reference training.py:603-647)
+                        self.logger.log_histograms(
+                            {
+                                k[len("hist/") :]: np.asarray(v)
+                                for k, v in hists.items()
+                            },
+                            step=step,
+                        )
                 if step % self.cfg.checkpoint_every_steps == 0:
                     self.ckpt.save(
                         step,

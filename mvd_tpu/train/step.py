@@ -50,10 +50,33 @@ GRAD_GROUPS = {
 }
 
 
+def grad_group_samples(grads, k: int = 512) -> Dict[str, jnp.ndarray]:
+    """Deterministic strided samples of raw per-group gradient values — the
+    jit-stable equivalent of the reference's randomly sampled W&B gradient
+    histograms (training.py:603-647). Each group contributes ~k values spread
+    evenly across its leaves; the host logger bins them (wandb.Histogram /
+    16-bin JSONL record) just as Lightning's wandb integration did. Keys are
+    prefixed ``hist/`` so the loop routes them past the scalar-metric path."""
+    flat = flatten_dict(grads)
+    out = {}
+    for name, pred in GRAD_GROUPS.items():
+        leaves = [
+            v.reshape(-1).astype(jnp.float32)
+            for key, v in flat.items()
+            if pred([str(p) for p in key]) and v.size > 0
+        ]
+        if not leaves:
+            continue
+        per = max(1, k // len(leaves))
+        samples = [v[:: max(1, v.shape[0] // per)][:per] for v in leaves]
+        out[f"hist/grad/{name}"] = jnp.concatenate(samples)
+    return out
+
+
 def grad_group_norms(grads) -> Dict[str, jnp.ndarray]:
     """Per-group gradient norms + max-abs (the reference's parameter-group
-    gradient telemetry, training.py:557-701; max-abs stands in for its
-    sampled histograms)."""
+    gradient telemetry, training.py:557-701; raw-value histograms come from
+    ``grad_group_samples``)."""
     flat = flatten_dict(grads)
     out = {}
     for name, pred in GRAD_GROUPS.items():
@@ -342,6 +365,7 @@ def make_train_step(
             )
             metrics = dict(metrics)
             metrics.update(grad_group_norms(grads))
+            metrics.update(grad_group_samples(grads))
             state = state.apply_gradients(grads)
             return state, metrics
 
@@ -355,6 +379,7 @@ def make_train_step(
         )
         metrics = dict(metrics)
         metrics.update(grad_group_norms(grads))
+        metrics.update(grad_group_samples(grads))
         state = state.apply_gradients(grads)
         return state, metrics
 

@@ -89,6 +89,31 @@ class MetricLogger:
         if self.wandb is not None:
             self.wandb.log(clean, step=step)
 
+    def log_histograms(
+        self, hists: Dict[str, np.ndarray], step: Optional[int] = None, bins: int = 16
+    ):
+        """Raw-value sample vectors -> W&B histograms (native binning, as the
+        reference's Lightning/wandb gradient histograms, training.py:603-647)
+        plus a compact binned record in the JSONL stream."""
+        rec: Dict[str, Any] = {"step": step, "time": time.time()}
+        for k, v in hists.items():
+            v = np.asarray(v, np.float64)
+            counts, edges = np.histogram(v[np.isfinite(v)], bins=bins)
+            rec[k] = {
+                "counts": counts.tolist(),
+                "lo": float(edges[0]),
+                "hi": float(edges[-1]),
+            }
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.wandb is not None:
+            import wandb  # noqa: PLC0415
+
+            self.wandb.log(
+                {k: wandb.Histogram(np.asarray(v)) for k, v in hists.items()},
+                step=step,
+            )
+
     def log_images(self, images: Dict[str, np.ndarray], step: Optional[int] = None):
         if self.wandb is not None:
             import wandb  # noqa: PLC0415
