@@ -71,7 +71,14 @@ def _fwd_kernel_grid(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
     GRID (not a fori_loop) with the online-softmax state carried in VMEM
     scratch — Mosaic then double-buffers the K/V block loads and overlaps
     them with compute across grid steps (+12% at the 4096-token hot shape
-    vs the in-kernel loop)."""
+    vs the in-kernel loop).
+
+    VPU-pass economy (the kernel is VPU- not MXU-bound at D=64): the scale
+    is folded into q (one (bq,D) multiply instead of a (bq,bk) pass), exp
+    writes p directly in the matmul dtype, and the row-sum of p rides the
+    P·V matmul via a ones-column appended to V — the MXU output tile is 128
+    lanes wide, so with D=64 the extra column is free. Net: two elementwise
+    passes over the score tile (max-read, exp) instead of five."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -80,24 +87,27 @@ def _fwd_kernel_grid(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
         m_s[:] = jnp.full_like(m_s, -jnp.inf)
         l_s[:] = jnp.zeros_like(l_s)
 
-    q = q_ref[0]
+    q = q_ref[0] * scale  # (bq, D): folds the scale off the score tile
     k = k_ref[0]
     v = v_ref[0]
+    d = v.shape[-1]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    if kv_valid < kv_len:  # static: masked tail columns
+    )
+    if kv_valid < kv_len:  # static: masked tail columns (tail block only)
         col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_valid, s, -jnp.inf)
     m_prev = m_s[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
+    p = jnp.exp(s - m_new).astype(v.dtype)
     alpha = jnp.exp(m_prev - m_new)
-    l_s[:] = alpha * l_s[:] + jnp.sum(p, axis=-1, keepdims=True)
-    acc[:] = acc[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    # [P·V | P·1]: accumulator columns and the row-sum in one MXU op
+    v_aug = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1)
+    pv = jax.lax.dot_general(
+        p, v_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    l_s[:] = alpha * l_s[:] + pv[:, d:]
+    acc[:] = acc[:] * alpha + pv[:, :d]
     m_s[:] = m_new
 
     @pl.when(ki == nk - 1)
