@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 _MIN_CIN_SHIFTED = 256
+_MAX_HW_SHIFTED = 64 * 64
 
 
 def conv3x3_shifted(x: jnp.ndarray, w: jnp.ndarray, b=None) -> jnp.ndarray:
@@ -46,13 +47,20 @@ def use_shifted(x_shape, kernel_shape, strides, impl: str = "auto") -> bool:
         return False
     if impl == "shifted":
         return True
-    # isolated microbenches favor the shifted path 10-30% at the UNet's core
-    # shapes, but end-to-end it is flat (XLA fuses conv epilogues the split
-    # matmuls lose). Default off; MVD_SHIFTED_CONV=1 enables for experiments.
+    # Default ON for TPU at small-spatial/large-channel shapes (the UNet's
+    # core: 64²x320, 32²x640, 16²x1280): with the streaming-GN rewrite in
+    # place the epilogue-fusion advantage XLA's conv held in round 1 is gone
+    # — A/B on v5e: denoise step 49.1 -> 48.3 ms/step, full-scale train step
+    # neutral (226.6 vs 226.4 ms). Large-spatial shapes stay on XLA convs:
+    # the VAE decoder (128²-512² rows, where the nine shifted re-reads of x
+    # dominate) measured 158 -> 199 ms with the shifted path.
+    # MVD_SHIFTED_CONV=0 restores XLA convs everywhere.
     import os
 
-    if os.environ.get("MVD_SHIFTED_CONV", "0") != "1":
+    if os.environ.get("MVD_SHIFTED_CONV", "1") != "1":
         return False
     return (
-        jax.default_backend() == "tpu" and x_shape[-1] >= _MIN_CIN_SHIFTED
+        jax.default_backend() == "tpu"
+        and x_shape[-1] >= _MIN_CIN_SHIFTED
+        and x_shape[1] * x_shape[2] <= _MAX_HW_SHIFTED
     )

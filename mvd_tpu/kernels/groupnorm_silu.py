@@ -124,35 +124,9 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, ssum, ssq,
     jax.lax.fori_loop(0, n_chunks, norm, 0)
 
 
-def groupnorm_silu(
-    x: jnp.ndarray,
-    scale: jnp.ndarray,
-    bias: jnp.ndarray,
-    num_groups: int = 32,
-    eps: float = 1e-5,
-    apply_silu: bool = True,
-    interpret: bool = False,
-    force: bool = False,
-) -> jnp.ndarray:
-    """Fused GroupNorm+SiLU on NHWC. Dispatches to the Pallas kernel on TPU
-    when the layout tiles (C % 128 == 0, HW chunkable); XLA otherwise."""
-    import os
-
+def _pallas_gn_silu(x, scale, bias, num_groups, eps, apply_silu, interpret):
     B, H, W, C = x.shape
     hw = H * W
-    # the in+out blocks live in VMEM: keep a comfortable margin under 16MB
-    row_bytes = hw * C * x.dtype.itemsize
-    usable = (C % 128 == 0) and hw % 8 == 0 and 2 * row_bytes < 9 * 1024 * 1024
-    # default off in the model hot path: end-to-end A/B on v5e measured the
-    # custom kernel ~2% behind XLA's own GN fusion for the SD2.1 mix of
-    # shapes (it wins 3x on isolated 640-ch rows but loses fusion context);
-    # set MVD_FUSED_GN=1 to enable.
-    if os.environ.get("MVD_FUSED_GN", "0") != "1":
-        usable = False
-    on_tpu = jax.default_backend() == "tpu"
-    if not usable or not (on_tpu or interpret or force):
-        return xla_groupnorm_silu(x, scale, bias, num_groups, eps, apply_silu)
-
     # chunk: largest divisor of hw keeping the f32 working set ~1MB
     chunk = hw
     budget = 1024 * 1024 // (C * 4)
@@ -186,3 +160,63 @@ def groupnorm_silu(
         interpret=interpret,
     )(xr, scale, bias)
     return out.reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_gn_silu(x, scale, bias, num_groups, eps, apply_silu, interpret):
+    return _pallas_gn_silu(x, scale, bias, num_groups, eps, apply_silu, interpret)
+
+
+def _fused_gn_silu_fwd(x, scale, bias, num_groups, eps, apply_silu, interpret):
+    out = _pallas_gn_silu(x, scale, bias, num_groups, eps, apply_silu, interpret)
+    return out, (x, scale, bias)
+
+
+def _fused_gn_silu_bwd(num_groups, eps, apply_silu, interpret, res, g):
+    # recompute-based backward through the XLA formulation (the kernel's
+    # numerical reference) — same trade remat makes, and it keeps the Pallas
+    # forward legal under jax.grad (pallas_call has no JVP rule of its own)
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x, s, b: xla_groupnorm_silu(x, s, b, num_groups, eps, apply_silu),
+        x,
+        scale,
+        bias,
+    )
+    return vjp(g)
+
+
+_fused_gn_silu.defvjp(_fused_gn_silu_fwd, _fused_gn_silu_bwd)
+
+
+def groupnorm_silu(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    apply_silu: bool = True,
+    interpret: bool = False,
+    force: bool = False,
+) -> jnp.ndarray:
+    """Fused GroupNorm+SiLU on NHWC. Dispatches to the Pallas kernel on TPU
+    when the layout tiles (C % 128 == 0, HW chunkable); XLA otherwise.
+    Differentiable on both paths (the kernel carries a custom VJP with an
+    XLA-recompute backward)."""
+    import os
+
+    B, H, W, C = x.shape
+    hw = H * W
+    # the in+out blocks live in VMEM: keep a comfortable margin under 16MB
+    row_bytes = hw * C * x.dtype.itemsize
+    usable = (C % 128 == 0) and hw % 8 == 0 and 2 * row_bytes < 9 * 1024 * 1024
+    # default off in the model hot path: end-to-end A/B on v5e measured the
+    # custom kernel ~1-2% behind XLA's own GN fusion for the SD2.1 mix of
+    # shapes (it wins 3x on isolated 640-ch rows but loses fusion context);
+    # set MVD_FUSED_GN=1 to enable.
+    if os.environ.get("MVD_FUSED_GN", "0") != "1":
+        usable = False
+    on_tpu = jax.default_backend() == "tpu"
+    if not usable or not (on_tpu or interpret or force):
+        return xla_groupnorm_silu(x, scale, bias, num_groups, eps, apply_silu)
+    return _fused_gn_silu(x, scale, bias, num_groups, eps, apply_silu, interpret)
