@@ -126,6 +126,9 @@ def make_handler(pipe, size: int, lock: threading.Lock):
 
 
 def main(argv=None):
+    from . import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--port", type=int, default=8000)

@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from . import apply_platform_env
+
+    apply_platform_env()
     args = build_argparser().parse_args(argv)
 
     from ..config import TINY_MODEL, TrainConfig, train_config_from_yaml

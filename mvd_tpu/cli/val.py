@@ -30,6 +30,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from . import apply_platform_env
+
+    apply_platform_env()
     args = build_argparser().parse_args(argv)
 
     from ..utils import enable_compilation_cache
