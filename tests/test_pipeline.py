@@ -119,3 +119,39 @@ def test_num_images_per_prompt(pipe):
     assert out["images"].shape == (2, hw, hw, 3)
     # different initial latents per image
     assert not np.allclose(out["images"][0], out["images"][1])
+
+
+def test_compute_params_precast_bf16():
+    """Under a bf16 compute dtype the sampling path consumes a pre-cast
+    param copy (weight casts otherwise re-run every denoise step): dense
+    kernels go bf16, norm-scoped params stay f32, outputs stay finite, and
+    the cache invalidates when params are rebound."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict
+
+    cfg = dataclasses.replace(TINY_MODEL, dtype="bfloat16")
+    p = MVDPipeline.create(cfg, jax.random.PRNGKey(0))
+    cp = p.compute_params
+    flat = flatten_dict(cp)
+    saw_bf16 = saw_norm_f32 = False
+    for path, v in flat.items():
+        name = "/".join(str(x) for x in path).lower()
+        if "norm" in name:
+            assert v.dtype == jnp.float32, name
+            saw_norm_f32 = True
+        elif path[-1] == "kernel":
+            assert v.dtype == jnp.bfloat16, name
+            saw_bf16 = True
+    assert saw_bf16 and saw_norm_f32
+    assert p.compute_params is cp  # cached
+    out = p("a chair", num_inference_steps=2, guidance_scale=1.0, seed=1)
+    assert np.isfinite(out["images"]).all()
+    p.params = jax.tree_util.tree_map(lambda x: x, p.params)  # rebind
+    assert p.compute_params is not cp  # cache invalidated
+
+
+def test_compute_params_identity_at_f32():
+    p = MVDPipeline.create(TINY_MODEL, jax.random.PRNGKey(0))
+    assert p.compute_params is p.params
