@@ -43,14 +43,15 @@ def main():
             method=pipe.mvd_unet.prepare_conditioning,
         )
     )
-    film, ref = prep(pipe.params["mvd"], text, cams, cams, lat)
+    mvd_params = pipe.compute_params["mvd"]  # the sampling path's pre-cast tree
+    film, ref = prep(mvd_params, text, cams, cams, lat)
 
     den = jax.jit(
         lambda p, s, t, e, f, r: pipe.mvd_unet.apply(
             p, s, t, e, f, r, jnp.float32(1.0), method=pipe.mvd_unet.denoise
         )
     )
-    out = den(pipe.params["mvd"], lat, jnp.asarray(500), text, film, ref)
+    out = den(mvd_params, lat, jnp.asarray(500), text, film, ref)
     float(jnp.sum(out))
     print("tracing...", file=sys.stderr, flush=True)
 
@@ -58,7 +59,7 @@ def main():
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
-            out = den(pipe.params["mvd"], lat, jnp.asarray(500), text, film, ref)
+            out = den(mvd_params, lat, jnp.asarray(500), text, film, ref)
             float(jnp.sum(out))
 
     traces = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))

@@ -162,6 +162,143 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret):
 
 
 # ---------------------------------------------------------------------------
+# Packed-layout forward: (B, S, H*D), heads sliced in-kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s,
+                       *, heads, head_dim, scale, block_k, nk, kv_valid, kv_len):
+    """Grid step over (B, q-block, k-block) with ALL heads processed by a
+    static in-kernel loop on the packed (bq, H*D) block. Avoids the
+    (B,S,H,D)->(B,H,S,D) head transposes entirely — profiled at 2.3 ms/step
+    of pure layout copies across the UNet's ~30 attention sites — and runs
+    slightly faster than the transposed kernel even in isolation (1.74 vs
+    1.85 ms at B4/H5/S4096/D64: 5x fewer grid steps amortize the softmax
+    state updates)."""
+    ki = pl.program_id(2)
+    D = head_dim
+
+    @pl.when(ki == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, -jnp.inf)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    qf = q_ref[0]
+    kf = k_ref[0]
+    vf = v_ref[0]
+    if kv_valid < kv_len:  # static: tail columns live in the last k-block
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (qf.shape[0], kf.shape[0]), 1
+        )
+        tail_mask = col < kv_valid
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        qb = qf[:, sl] * scale
+        s = jax.lax.dot_general(
+            qb, kf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if kv_valid < kv_len:
+            s = jnp.where(tail_mask, s, -jnp.inf)
+        vb = vf[:, sl]
+        m_prev = m_s[:, h : h + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new).astype(vb.dtype)
+        alpha = jnp.exp(m_prev - m_new)
+        v_aug = jnp.concatenate(
+            [vb, jnp.ones((vb.shape[0], 1), vb.dtype)], axis=-1
+        )
+        pv = jax.lax.dot_general(
+            p, v_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        l_s[:, h : h + 1] = alpha * l_s[:, h : h + 1] + pv[:, D:]
+        acc[:, sl] = acc[:, sl] * alpha + pv[:, :D]
+        m_s[:, h : h + 1] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        for h in range(heads):
+            sl = slice(h * D, (h + 1) * D)
+            o_ref[0, :, sl] = (acc[:, sl] / l_s[:, h : h + 1]).astype(o_ref.dtype)
+        lse_ref[0] = m_s[:] + jnp.log(l_s[:])
+
+
+def _flash_fwd_packed(q, k, v, heads, scale, block_q, block_k, kv_valid, interpret):
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // heads
+
+    block_q = min(block_q, Sq)
+    block_k = min(block_k, Sk)
+    nk = _cdiv(Sk, block_k)
+    grid = (B, _cdiv(Sq, block_q), nk)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_packed, heads=heads, head_dim=D, scale=scale,
+            block_k=block_k, nk=nk, kv_valid=kv_valid, kv_len=Sk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, HD), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, HD), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, HD), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, HD), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, heads), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Sq, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, Sq, heads), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, HD), jnp.float32),
+            pltpu.VMEM((block_q, heads), jnp.float32),
+            pltpu.VMEM((block_q, heads), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention_packed(q, k, v, heads, scale, block_q, block_k, kv_valid, interpret):
+    out, _ = _flash_fwd_packed(q, k, v, heads, scale, block_q, block_k, kv_valid, interpret)
+    return out
+
+
+def _flash_attention_packed_fwd(q, k, v, heads, scale, block_q, block_k, kv_valid, interpret):
+    out, lse = _flash_fwd_packed(q, k, v, heads, scale, block_q, block_k, kv_valid, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_packed_bwd(heads, scale, block_q, block_k, kv_valid, interpret, res, g):
+    # backward rides the (B,H,S,D) kernels via reshape+transpose: the fwd is
+    # the sampling hot path; training keeps the same net transpose count it
+    # had before (moved from fwd to bwd).
+    q, k, v, out, lse = res
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // heads
+    tr = lambda t, s: t.reshape(B, s, heads, D).transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_bwd(
+        scale, block_q, block_k, interpret,
+        (tr(q, Sq), tr(k, Sk), tr(v, Sk), tr(out, Sq), lse.transpose(0, 2, 1)),
+        tr(g, Sq),
+    )
+    un = lambda t, s: t.transpose(0, 2, 1, 3).reshape(B, s, HD)
+    return un(dq, Sq), un(dk, Sk), un(dv, Sk)
+
+
+_flash_attention_packed.defvjp(_flash_attention_packed_fwd, _flash_attention_packed_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Backward kernels
 # ---------------------------------------------------------------------------
 
@@ -367,6 +504,66 @@ def flash_attention(
         q, k, v, float(scale), block_q, block_k, int(Sk), interpret
     )
     return out[:, :, :Sq, :] if sq_pad != Sq else out
+
+
+def flash_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention on the packed (B, S, H*D) layout — no head
+    transposes. Differentiable (backward reuses the (B,H,S,D) kernels).
+    Arbitrary lengths via pad + in-kernel tail masking, as
+    ``flash_attention``."""
+    HD = q.shape[-1]
+    D = HD // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    Sq, Sk = q.shape[1], k.shape[1]
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Sk, 128))
+    sq_pad = _round_up(Sq, block_q)
+    sk_pad = _round_up(Sk, block_k)
+    if sq_pad != Sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - Sq), (0, 0)))
+    if sk_pad != Sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad - Sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad - Sk), (0, 0)))
+    out = _flash_attention_packed(
+        q, k, v, heads, float(scale), block_q, block_k, int(Sk), interpret
+    )
+    return out[:, :Sq, :] if sq_pad != Sq else out
+
+
+def attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    impl: str = "auto",
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Multi-head attention on the packed (B, S, H*D) layout (the natural
+    output of the qkv projections): Pallas packed kernel on TPU for long
+    sequences, otherwise the XLA path with explicit head split/merge."""
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // heads
+    if impl == "pallas":
+        return flash_attention_packed(q, k, v, heads, scale)
+    if impl == "pallas_interpret":
+        return flash_attention_packed(q, k, v, heads, scale, interpret=True)
+    on_tpu = jax.default_backend() == "tpu"
+    if impl != "xla" and on_tpu and Sq >= _MIN_PALLAS_SEQ and Sk >= 128:
+        return flash_attention_packed(q, k, v, heads, scale)
+    split = lambda t, s: t.reshape(B, s, heads, D).transpose(0, 2, 1, 3)
+    out = xla_attention(split(q, Sq), split(k, Sk), split(v, Sk), scale)
+    return out.transpose(0, 2, 1, 3).reshape(B, Sq, HD)
 
 
 def attention(

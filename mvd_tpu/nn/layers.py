@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..kernels.flash_attention import attention as attention_dispatch
+from ..kernels.flash_attention import attention_packed
 
 
 def timestep_embedding(
@@ -144,24 +145,22 @@ class CrossViewAdapter(nn.Module):
         out of the denoise loop (MultiViewUNet.prepare_conditioning)."""
         B, S, D = hidden.shape
         inner = self.heads * self.head_dim
+        # packed (B, S, H*head_dim) layout end-to-end — no head transposes
+        # (profiled at 2.3 ms/step of pure copies across the UNet's
+        # attention sites; kernels/flash_attention.attention_packed)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q_ref")(hidden)
-        q = q.reshape(B, S, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         if isinstance(ref, tuple):
-            k, v = ref
+            k, v = ref  # (B, Sk, inner), precomputed by the pipeline
             k = k.astype(hidden.dtype)
             v = v.astype(hidden.dtype)
         else:
-            Sk = ref.shape[1]
             k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ref")(
                 ref.astype(hidden.dtype)
             )
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ref")(
                 ref.astype(hidden.dtype)
             )
-            k = k.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-            v = v.reshape(B, Sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        out = attention_dispatch(q, k, v, impl=self.attention_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+        out = attention_packed(q, k, v, self.heads, impl=self.attention_impl)
         out = nn.Dense(D, dtype=self.dtype, name="to_out_ref")(out)
         return out
 
@@ -212,10 +211,8 @@ class Attention(nn.Module):
                 out = attention_dispatch(q, k, v, impl=self.attention_impl)
             out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
         else:
-            split = lambda t, s: t.reshape(B, s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-            q, k, v = split(q, S), split(k, Sk), split(v, Sk)
-            out = attention_dispatch(q, k, v, impl=self.attention_impl)
-            out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+            # packed layout: no head transposes (see CrossViewAdapter note)
+            out = attention_packed(q, k, v, self.heads, impl=self.attention_impl)
         out = nn.Dense(self.out_dim or D, dtype=self.dtype, name="to_out")(out)
         return out
 

@@ -77,15 +77,6 @@ class MultiViewUNet(nn.Module):
         _, feats = enc(source_latents, t0, encoder_hidden_states)
         return feats
 
-    def _feature_block_index(self, name: str) -> int:
-        """Feature name -> block index into num_attention_heads."""
-        n_blocks = len(self.cfg.unet.block_out_channels)
-        if name.startswith("down_block_"):
-            return int(name.split("_")[2])
-        if name.startswith("mid_block"):
-            return n_blocks - 1
-        return n_blocks - 1 - int(name.split("_")[2])  # up_block_{i}
-
     def _precompute_adapter_kv(self, name: str, feat: jnp.ndarray):
         """Project normalized features through the (frozen at sample time)
         adapter K/V kernels once — they are step-invariant, so the denoise
@@ -98,18 +89,15 @@ class MultiViewUNet(nn.Module):
             module = f"down_{parts[2]}_attn_{parts[4]}"
         else:
             module = f"up_{parts[2]}_attn_{parts[4]}"
-        idx = self._feature_block_index(name)
-        heads = self.cfg.unet.num_attention_heads[idx]
-        head_dim = self.cfg.unet.block_out_channels[idx] // heads
         tparams = self.unet.variables["params"][module]["transformer_blocks_0"]
-        b, S, C = feat.shape
         out = {}
         for key, adapter in (("self", "adapter_self"), ("cross", "adapter_cross")):
             kvs = []
             for proj in ("to_k_ref", "to_v_ref"):
                 W = tparams[adapter][proj]["kernel"].astype(self._dtype)
-                t = (feat.astype(self._dtype) @ W).reshape(b, S, heads, head_dim)
-                kvs.append(t.transpose(0, 2, 1, 3))
+                # packed (b, S, H*head_dim) layout — consumed transpose-free
+                # by CrossViewAdapter via attention_packed
+                kvs.append(feat.astype(self._dtype) @ W)
             out[key] = tuple(kvs)
         return out
 

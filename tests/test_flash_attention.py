@@ -95,3 +95,63 @@ def test_scale_override():
     want = xla_attention(q, k, v, scale=0.5)
     got = flash_attention(q, k, v, scale=0.5, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+class TestPackedLayout:
+    """attention_packed / flash_attention_packed on (B, S, H*D) — the
+    transpose-free layout the UNet's non-joint attention sites use."""
+
+    def _ref(self, q, k, v, heads):
+        from mvd_tpu.kernels.flash_attention import xla_attention
+
+        B, Sq, HD = q.shape
+        Sk = k.shape[1]
+        D = HD // heads
+        split = lambda t, s: t.reshape(B, s, heads, D).transpose(0, 2, 1, 3)
+        out = xla_attention(split(q, Sq), split(k, Sk), split(v, Sk))
+        return out.transpose(0, 2, 1, 3).reshape(B, Sq, HD)
+
+    def test_forward_matches_transposed_path(self):
+        from mvd_tpu.kernels.flash_attention import flash_attention_packed
+
+        rng = np.random.default_rng(0)
+        heads, D = 3, 64
+        for Sq, Sk in [(256, 256), (300, 77), (256, 200)]:
+            q = jnp.asarray(rng.standard_normal((2, Sq, heads * D)), jnp.float32)
+            k = jnp.asarray(rng.standard_normal((2, Sk, heads * D)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((2, Sk, heads * D)), jnp.float32)
+            got = flash_attention_packed(
+                q, k, v, heads, block_q=128, block_k=128, interpret=True
+            )
+            want = self._ref(q, k, v, heads)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+            )
+
+    def test_grad_matches_transposed_path(self):
+        from mvd_tpu.kernels.flash_attention import flash_attention_packed
+
+        rng = np.random.default_rng(1)
+        heads, D = 2, 64
+        q = jnp.asarray(rng.standard_normal((1, 256, heads * D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 200, heads * D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 200, heads * D)), jnp.float32)
+        f1 = lambda q, k, v: jnp.sum(
+            flash_attention_packed(q, k, v, heads, block_q=128, block_k=128, interpret=True) ** 2
+        )
+        f2 = lambda q, k, v: jnp.sum(self._ref(q, k, v, heads) ** 2)
+        g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4)
+
+    def test_dispatch_xla_fallback(self):
+        from mvd_tpu.kernels.flash_attention import attention_packed
+
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.standard_normal((1, 64, 128)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 32, 128)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 32, 128)), jnp.float32)
+        got = attention_packed(q, k, v, 2, impl="auto")  # short seq -> XLA
+        want = self._ref(q, k, v, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
