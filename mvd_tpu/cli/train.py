@@ -90,11 +90,16 @@ def main(argv=None):
     from ..config import data_config_from_yaml, DataConfig
 
     data_cfg = data_config_from_yaml(args.config) if args.config else DataConfig()
+    # batch_size is PER data-parallel device, mirroring the reference's
+    # per-DDP-rank DataLoader batch (reference train_config.yaml batch_size 6
+    # x num_gpus 4 = 24 global); the global batch fed to the loader is
+    # therefore always divisible by the mesh's data axis.
+    global_batch = cfg.batch_size * mesh_data
     dm = ObjaverseDataModule(
         dataset_path,
         pipe.tokenizer,
         image_size=cfg.image_size,
-        batch_size=cfg.batch_size,
+        batch_size=global_batch,
         max_views_per_object=data_cfg.max_views_per_object,
         dataset_samples=data_cfg.dataset_samples,
         num_workers=data_cfg.num_workers,

@@ -201,15 +201,22 @@ class Attention(nn.Module):
             if self.view_axis is not None:
                 V = V // lax.psum(1, self.view_axis)  # local views per shard
             nb = B // V
-            split = lambda t, s: t.reshape(nb, V * s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-            q, k, v = split(q, S), split(k, Sk), split(v, Sk)
             if self.view_axis is not None:
+                # ring collective wants explicit (B,H,S,D) shards
+                split = lambda t, s: t.reshape(nb, V * s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
                 from ..kernels.ring_attention import ring_attention
 
-                out = ring_attention(q, k, v, axis_name=self.view_axis)
+                out = ring_attention(split(q, S), split(k, Sk), split(v, Sk), axis_name=self.view_axis)
+                out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
             else:
-                out = attention_dispatch(q, k, v, impl=self.attention_impl)
-            out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+                # merging the view axis into the sequence is a FREE reshape in
+                # the packed (B*V, S, H*D) layout — no head transposes
+                merge = lambda t, s: t.reshape(nb, V * s, inner)
+                out = attention_packed(
+                    merge(q, S), merge(k, Sk), merge(v, Sk), self.heads,
+                    impl=self.attention_impl,
+                )
+                out = out.reshape(B, S, inner)
         else:
             # packed layout: no head transposes (see CrossViewAdapter note)
             out = attention_packed(q, k, v, self.heads, impl=self.attention_impl)
@@ -482,6 +489,32 @@ def conv3x3_after_nearest_x2(x, kernel, bias):
     return out + bias.astype(out.dtype)
 
 
+def conv3x3_after_nearest_x2_transposed(x, kernel, bias):
+    """``3x3 SAME conv(nearest-x2(x))`` as ONE lhs-dilated (transposed) conv.
+
+    Because XLA convolution is correlation, output phase p receives x[i] with
+    weight W[2i - p + 2] along each spatial dim, so the 3-tap kernel folds to
+    the 4-tap ``[K0, K0+K1, K1+K2, K2]`` and the conv emits the interleaved
+    double-resolution output directly — no phase slice/stack formatting
+    (which cost ~12 ms of the 4x512² VAE decode with the subpixel-slice
+    formulation; see benchmarks/upsample_bench.py: 19.3 -> 11.1 ms at the
+    up_2 shape). Exact up to f32 tap re-association.
+    """
+    r = jnp.asarray(
+        [[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], kernel.dtype
+    )
+    k4 = jnp.einsum("ar,rsio,bs->abio", r, kernel, r)
+    y = jax.lax.conv_general_dilated(
+        x,
+        k4.astype(x.dtype),
+        (1, 1),
+        ((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias.astype(y.dtype)
+
+
 class _Conv3x3Params(nn.Module):
     """Parameter-only twin of nn.Conv's (3,3) param structure, so Upsample
     can own ``conv/kernel``+``conv/bias`` (checkpoint-compatible) while
@@ -504,9 +537,11 @@ class _Conv3x3Params(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest x2 then 3x3 conv, computed as a folded subpixel conv at low
-    resolution (conv3x3_after_nearest_x2). ``MVD_NAIVE_UPSAMPLE=1`` restores
-    the materialized upsample-then-conv path."""
+    """Nearest x2 then 3x3 conv, computed as one lhs-dilated conv with the
+    folded 4-tap kernel (conv3x3_after_nearest_x2_transposed — the fastest
+    formulation at every UNet/VAE shape, benchmarks/upsample_bench.py).
+    ``MVD_UPSAMPLE=subpixel`` restores the phase-slice subpixel fold,
+    ``MVD_UPSAMPLE=naive`` the materialized upsample-then-conv path."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
@@ -517,7 +552,10 @@ class Upsample(nn.Module):
 
         B, H, W, C = x.shape
         kernel, bias = _Conv3x3Params(self.out_channels, name="conv")(C)
-        if os.environ.get("MVD_NAIVE_UPSAMPLE", "0") == "1":
+        mode = os.environ.get("MVD_UPSAMPLE", "transposed")
+        if os.environ.get("MVD_NAIVE_UPSAMPLE", "0") == "1":  # legacy knob
+            mode = "naive"
+        if mode == "naive":
             up = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
             up = up.reshape(B, H * 2, W * 2, C).astype(self.dtype)
             y = jax.lax.conv_general_dilated(
@@ -525,6 +563,10 @@ class Upsample(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias.astype(y.dtype)
-        return conv3x3_after_nearest_x2(
+        if mode == "subpixel":
+            return conv3x3_after_nearest_x2(
+                x.astype(self.dtype), kernel.astype(self.dtype), bias
+            )
+        return conv3x3_after_nearest_x2_transposed(
             x.astype(self.dtype), kernel.astype(self.dtype), bias
         )

@@ -75,6 +75,43 @@ def test_upsample_folded_matches_naive():
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
+    from mvd_tpu.nn.layers import conv3x3_after_nearest_x2_transposed
+
+    got_t = conv3x3_after_nearest_x2_transposed(x, k, b)
+    assert got_t.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_upsample_transposed_grads_match_naive():
+    """The lhs-dilated default is differentiable and its grads equal the
+    materialized upsample-then-conv formulation's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvd_tpu.nn.layers import conv3x3_after_nearest_x2_transposed
+
+    B, H, W, C, O = 1, 4, 5, 3, 2
+    kx, kk = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(kx, (B, H, W, C))
+    k = jax.random.normal(kk, (3, 3, C, O)) * 0.2
+    b = jnp.zeros((O,))
+
+    def naive(x, k):
+        up = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+        up = up.reshape(B, 2 * H, 2 * W, C)
+        return jax.lax.conv_general_dilated(
+            up, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    loss_n = lambda x, k: jnp.sum(jnp.sin(naive(x, k)))
+    loss_t = lambda x, k: jnp.sum(jnp.sin(conv3x3_after_nearest_x2_transposed(x, k, b)))
+    gn = jax.grad(loss_n, (0, 1))(x, k)
+    gt = jax.grad(loss_t, (0, 1))(x, k)
+    for a, c in zip(gn, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5, rtol=2e-5)
+
 
 def test_upsample_module_env_paths_agree(monkeypatch):
     import jax
@@ -86,7 +123,10 @@ def test_upsample_module_env_paths_agree(monkeypatch):
     m = Upsample(out_channels=6)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 3))
     params = m.init(jax.random.PRNGKey(2), x)
-    got = m.apply(params, x)
-    monkeypatch.setenv("MVD_NAIVE_UPSAMPLE", "1")
-    want = m.apply(params, x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+    got = m.apply(params, x)  # default: transposed
+    monkeypatch.setenv("MVD_UPSAMPLE", "subpixel")
+    want_sub = m.apply(params, x)
+    monkeypatch.setenv("MVD_UPSAMPLE", "naive")
+    want_naive = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_sub), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_naive), atol=2e-5, rtol=2e-5)

@@ -128,6 +128,67 @@ def test_validate_and_zip_render_output(tmp_path):
         validate_render_output(str(out))
 
 
+def test_render_gso_per_gpu_pinning(tmp_path):
+    """Parallel GSO rendering pins each Blender worker to a GPU via
+    CUDA_VISIBLE_DEVICES (reference render_gso.py:151-158)."""
+    from tools.rendering.render_gso import render_gso_dataset
+
+    # fake blender: records its CUDA_VISIBLE_DEVICES and writes a valid
+    # render-output dir (the orchestrator validates + zips it)
+    fake = tmp_path / "fake_blender.py"
+    fake.write_text(
+        """#!/usr/bin/env python
+import json, os, sys
+import numpy as np
+from PIL import Image
+args = sys.argv[sys.argv.index("--") + 1 :]
+out = args[args.index("--output-dir") + 1]
+os.makedirs(out, exist_ok=True)
+for i in range(2):
+    Image.new("RGB", (4, 4)).save(os.path.join(out, f"{i:03d}.png"))
+    np.save(os.path.join(out, f"{i:03d}.npy"), np.eye(4, dtype=np.float32))
+open(os.path.join(out, "num_renders.txt"), "w").write("2")
+open(os.path.join(out, "metadata.json"), "w").write("{}")
+with open(os.path.join(os.environ["PIN_LOG_DIR"], f"pin_{os.getpid()}.json"), "w") as f:
+    json.dump({"gpu": os.environ.get("CUDA_VISIBLE_DEVICES")}, f)
+"""
+    )
+    fake.chmod(0o755)
+    # a "blender" bin that execs the python script (run_blender passes
+    # --background --python <script> -- <args>; the fake ignores them)
+    import sys as _sys
+
+    bin_ = tmp_path / "blender"
+    bin_.write_text(f'#!/bin/sh\nexec {_sys.executable} {fake} "$@"\n')
+    bin_.chmod(0o755)
+
+    gso = tmp_path / "gso"
+    gso.mkdir()
+    for name in ("obj_a", "obj_b", "obj_c"):
+        with zipfile.ZipFile(gso / f"{name}.zip", "w") as z:
+            z.writestr("meshes/model.obj", "v 0 0 0\n")
+            z.writestr("materials/textures/texture.png", b"png")
+
+    pin_dir = tmp_path / "pins"
+    pin_dir.mkdir()
+    os.environ["PIN_LOG_DIR"] = str(pin_dir)
+    try:
+        n = render_gso_dataset(
+            str(gso), str(tmp_path / "renders"), str(tmp_path / "logs"),
+            blender_bin=str(bin_), num_gpus=2,
+        )
+    finally:
+        del os.environ["PIN_LOG_DIR"]
+    assert n == 3
+    zips = sorted(os.listdir(tmp_path / "renders"))
+    assert zips == ["obj_a.zip", "obj_b.zip", "obj_c.zip"]
+    pins = sorted(
+        json.load(open(pin_dir / p))["gpu"] for p in os.listdir(pin_dir)
+    )
+    # 3 objects over 2 GPUs round-robin: gpus {0, 1} both used
+    assert set(pins) == {"0", "1"} and len(pins) == 3
+
+
 def test_csv_logbook_resume(tmp_path):
     lb = CSVLogBook(str(tmp_path))
     lb.success("uid1", "8 views")

@@ -35,17 +35,21 @@ class CSVLogBook:
     """Success/failure CSV logs (reference rendering/main.py:37-53)."""
 
     def __init__(self, log_dir: str):
+        import threading
+
         os.makedirs(log_dir, exist_ok=True)
         self.success_path = os.path.join(log_dir, "rendered.csv")
         self.failure_path = os.path.join(log_dir, "failed.csv")
+        self._lock = threading.Lock()  # parallel per-GPU workers share one book
 
     def _append(self, path: str, row):
-        new = not os.path.exists(path)
-        with open(path, "a", newline="") as f:
-            w = csv.writer(f)
-            if new:
-                w.writerow(["uid", "detail", "ts"])
-            w.writerow(row)
+        with self._lock:
+            new = not os.path.exists(path)
+            with open(path, "a", newline="") as f:
+                w = csv.writer(f)
+                if new:
+                    w.writerow(["uid", "detail", "ts"])
+                w.writerow(row)
 
     def success(self, uid: str, detail: str = ""):
         self._append(self.success_path, [uid, detail, time.time()])

@@ -47,6 +47,24 @@ def prepare_gso_archive(zip_path: str, workdir: str) -> str:
     return mesh
 
 
+def _render_one(
+    zp, render_dir, logbook, blender_bin, engine, resolution, gpu_index
+) -> int:
+    uid = os.path.splitext(os.path.basename(zp))[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        try:
+            mesh = prepare_gso_archive(zp, tmp)
+        except Exception as e:
+            logbook.failure(uid, f"prepare: {e}")
+            return 0
+        return int(
+            handle_found_object(
+                mesh, uid, render_dir, logbook, blender_bin, engine,
+                resolution, gso=True, gpu_index=gpu_index,
+            )
+        )
+
+
 def render_gso_dataset(
     gso_dir: str,
     render_dir: str,
@@ -55,32 +73,43 @@ def render_gso_dataset(
     engine: str = "EEVEE",
     resolution: int = 1024,
     limit=None,
+    num_gpus: int = 0,
 ) -> int:
+    """Render all GSO zips; with ``num_gpus > 0``, run that many Blender
+    subprocesses in parallel, worker *i* pinned to GPU ``i % num_gpus`` via
+    CUDA_VISIBLE_DEVICES (reference render_gso.py:151-158's per-GPU
+    scheduling)."""
     logbook = CSVLogBook(log_dir)
     done = logbook.succeeded_uids()
     existing = {
         os.path.splitext(os.path.basename(p))[0]
         for p in glob(os.path.join(render_dir, "*.zip"))
     }
-    count = 0
     zips = sorted(glob(os.path.join(gso_dir, "*.zip")))
     if limit:
         zips = zips[:limit]
-    for zp in zips:
-        uid = os.path.splitext(os.path.basename(zp))[0]
-        if uid in done or uid in existing:
-            continue
-        with tempfile.TemporaryDirectory() as tmp:
-            try:
-                mesh = prepare_gso_archive(zp, tmp)
-            except Exception as e:
-                logbook.failure(uid, f"prepare: {e}")
-                continue
-            count += handle_found_object(
-                mesh, uid, render_dir, logbook, blender_bin, engine, resolution,
-                gso=True,
+    todo = [
+        zp
+        for zp in zips
+        if os.path.splitext(os.path.basename(zp))[0] not in done
+        and os.path.splitext(os.path.basename(zp))[0] not in existing
+    ]
+    if num_gpus <= 0:
+        return sum(
+            _render_one(zp, render_dir, logbook, blender_bin, engine, resolution, None)
+            for zp in todo
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_gpus) as pool:
+        futs = [
+            pool.submit(
+                _render_one, zp, render_dir, logbook, blender_bin, engine,
+                resolution, i % num_gpus,
             )
-    return count
+            for i, zp in enumerate(todo)
+        ]
+        return sum(f.result() for f in futs)
 
 
 def main(argv=None):
@@ -92,10 +121,15 @@ def main(argv=None):
     p.add_argument("--engine", default="EEVEE")
     p.add_argument("--resolution", type=int, default=1024)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument(
+        "--num-gpus", type=int, default=0,
+        help="parallel Blender workers, each pinned to one GPU (0 = serial)",
+    )
     args = p.parse_args(argv)
     n = render_gso_dataset(
         args.gso_dir, args.render_dir, args.log_dir or os.path.join(args.render_dir, "logs"),
         args.blender_bin, args.engine, args.resolution, args.limit,
+        num_gpus=args.num_gpus,
     )
     print(f"rendered {n} GSO objects")
 
