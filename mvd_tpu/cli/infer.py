@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--reference-rescale-quirk", action="store_true")
+    p.add_argument(
+        "--encoder-reuse", type=int, default=1,
+        help="k>1 enables approximate encoder-propagation fast sampling "
+        "(skip the UNet down path at k-1 of every k steps; arXiv 2312.09608)",
+    )
     return p
 
 
@@ -98,6 +103,7 @@ def main(argv=None):
             source_images=(src_img + 1) / 2,
             ref_scale=args.ref_scale,
             seed=args.seed + i,
+            encoder_reuse=args.encoder_reuse,
         )
         img = np.asarray(out["images"][0])
         if args.reference_rescale_quirk:

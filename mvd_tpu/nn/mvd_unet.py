@@ -159,21 +159,32 @@ class MultiViewUNet(nn.Module):
         film=None,
         ref_features=None,
         ref_scale: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
-        """One UNet evaluation with precomputed conditioning."""
+        cached_encoder=None,
+        return_encoder_cache: bool = False,
+    ):
+        """One UNet evaluation with precomputed conditioning.
+
+        ``cached_encoder`` / ``return_encoder_cache`` thread the encoder-
+        propagation fast-sampling state through (see UNet2DCondition — at a
+        non-key step the down path is skipped and the key step's cache is
+        consumed instead)."""
         Bs = sample.shape[0]
         if encoder_hidden_states.shape[0] < Bs:  # CFG text repeat
             rep = Bs // encoder_hidden_states.shape[0]
             encoder_hidden_states = jnp.concatenate([encoder_hidden_states] * rep, 0)
-        out, _ = self.unet(
+        out = self.unet(
             sample,
             timestep,
             encoder_hidden_states,
             ref_features=ref_features,
             film=film,
             ref_scale=ref_scale,
+            cached_encoder=cached_encoder,
+            return_encoder_cache=return_encoder_cache,
         )
-        return out
+        if return_encoder_cache:
+            return out[0], out[2]
+        return out[0]
 
     def __call__(
         self,

@@ -69,9 +69,29 @@ class UNet2DCondition(nn.Module):
         ref_features: Optional[Features] = None,
         film: Optional[Film] = None,
         ref_scale: Optional[jnp.ndarray] = None,
-    ) -> Tuple[jnp.ndarray, Features]:
+        cached_encoder: Optional[Tuple] = None,
+        return_encoder_cache: bool = False,
+    ):
+        """Full UNet forward, or a decoder-only forward from a cached
+        encoder state.
+
+        Encoder propagation ("Faster Diffusion", arXiv 2312.09608): the
+        down-path (encoder) features of adjacent denoising steps are nearly
+        identical, so at non-key steps the encoder can be skipped and the
+        key step's skip/bottleneck activations reused — only the mid+up
+        (decoder) path, which carries most of the semantic change per step,
+        is recomputed with the new timestep embedding.
+
+          * ``return_encoder_cache=True`` → returns
+            ``(out, features, cache)`` where ``cache`` is the pytree of
+            down-path activations (skip residuals + bottleneck input).
+          * ``cached_encoder=cache`` → skips the down path entirely;
+            ``sample`` is unused (the non-key prediction depends only on the
+            cached encoder state and the new timestep — this is what makes
+            the approximation, and what lets non-key steps batch).
+        """
         cfg = self.cfg
-        B = sample.shape[0]
+        B = (sample if cached_encoder is None else cached_encoder[1]).shape[0]
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (B,))
 
@@ -108,37 +128,42 @@ class UNet2DCondition(nn.Module):
 
         features: Features = {}
 
-        sample = apply_film(sample, film, "output")
-        sample = sample.astype(self.dtype)
+        if cached_encoder is not None:
+            residuals, h = list(cached_encoder[0]), cached_encoder[1]
+        else:
+            sample = apply_film(sample, film, "output")
+            sample = sample.astype(self.dtype)
 
-        h = nn.Conv(
-            cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in"
-        )(sample)
-        residuals = [h]
+            h = nn.Conv(
+                cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in"
+            )(sample)
+            residuals = [h]
 
-        # ----- down path -----
-        for i, block_type in enumerate(cfg.down_block_types):
-            out_ch = cfg.block_out_channels[i]
-            has_attn = block_type == "CrossAttnDownBlock2D"
-            for j in range(cfg.layers_per_block):
-                h = ResBlock(
-                    out_channels=out_ch,
-                    norm_num_groups=cfg.norm_num_groups,
-                    norm_eps=cfg.norm_eps,
-                    dtype=self.dtype,
-                    name=f"down_{i}_resnet_{j}",
-                )(h, temb)
-                if has_attn:
-                    fname = f"down_block_{i}_attn_{j}"
-                    h = make_attn(i, f"down_{i}_attn_{j}")(
-                        h, ctx, get_ref(fname), ref_scale
-                    )
-                    features[fname] = h
-                residuals.append(h)
-            if i < len(cfg.down_block_types) - 1:
-                h = Downsample(out_ch, dtype=self.dtype, name=f"down_{i}_downsample")(h)
-                residuals.append(h)
-            h = apply_film(h, film, f"down_{i}")
+            # ----- down path -----
+            for i, block_type in enumerate(cfg.down_block_types):
+                out_ch = cfg.block_out_channels[i]
+                has_attn = block_type == "CrossAttnDownBlock2D"
+                for j in range(cfg.layers_per_block):
+                    h = ResBlock(
+                        out_channels=out_ch,
+                        norm_num_groups=cfg.norm_num_groups,
+                        norm_eps=cfg.norm_eps,
+                        dtype=self.dtype,
+                        name=f"down_{i}_resnet_{j}",
+                    )(h, temb)
+                    if has_attn:
+                        fname = f"down_block_{i}_attn_{j}"
+                        h = make_attn(i, f"down_{i}_attn_{j}")(
+                            h, ctx, get_ref(fname), ref_scale
+                        )
+                        features[fname] = h
+                    residuals.append(h)
+                if i < len(cfg.down_block_types) - 1:
+                    h = Downsample(out_ch, dtype=self.dtype, name=f"down_{i}_downsample")(h)
+                    residuals.append(h)
+                h = apply_film(h, film, f"down_{i}")
+
+        encoder_cache = (tuple(residuals), h) if return_encoder_cache else None
 
         # ----- mid -----
         mid_ch = cfg.block_out_channels[-1]
@@ -196,4 +221,6 @@ class UNet2DCondition(nn.Module):
         out = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)
+        if return_encoder_cache:
+            return out.astype(jnp.float32), features, encoder_cache
         return out.astype(jnp.float32), features

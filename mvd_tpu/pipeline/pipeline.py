@@ -234,7 +234,8 @@ class MVDPipeline:
         signature."""
         if key in self._jit_cache:
             return self._jit_cache[key]
-        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler, gen_latents) = key
+        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler, gen_latents,
+         enc_reuse) = key
         schedule = self.schedule
         ts_grid = jnp.asarray(inference_timesteps(schedule, steps))
         cfgm = self.config
@@ -276,25 +277,55 @@ class MVDPipeline:
                 method=self.mvd_unet.prepare_conditioning,
             )
 
-            def body(carry, xs):
-                lat, rng = carry
-                t = xs
-                rng, step_rng = jax.random.split(rng)
+            def denoise_at(lat, t, cached=None, return_cache=False):
                 inp = jnp.concatenate([lat, lat], 0) if do_cfg else lat
-                pred = self.mvd_unet.apply(
+                return self.mvd_unet.apply(
                     params["mvd"], inp, t, embeds, film, ref_feats, ref_scale,
+                    cached_encoder=cached, return_encoder_cache=return_cache,
                     method=self.mvd_unet.denoise,
                 )
+
+            def sched_step(pred, t, lat, step_rng):
                 if do_cfg:
                     un, co = jnp.split(pred, 2, axis=0)
                     pred = un + guidance_scale * (co - un)
                 if sampler == "ddim":
-                    lat = ddim_step(schedule, pred, t, lat, steps)
-                else:
-                    lat = ddpm_step(schedule, pred, t, lat, step_rng, steps)
+                    return ddim_step(schedule, pred, t, lat, steps)
+                return ddpm_step(schedule, pred, t, lat, step_rng, steps)
+
+            def body(carry, t):
+                lat, rng = carry
+                rng, step_rng = jax.random.split(rng)
+                lat = sched_step(denoise_at(lat, t), t, lat, step_rng)
                 return (lat, rng), None
 
-            (lat, _), _ = jax.lax.scan(body, (latents, rng), ts_grid)
+            if enc_reuse <= 1:
+                (lat, _), _ = jax.lax.scan(body, (latents, rng), ts_grid)
+            else:
+                # encoder propagation ("Faster Diffusion", arXiv 2312.09608):
+                # scan over groups of ``enc_reuse`` steps — the group's first
+                # (key) step runs the full UNet and returns the down-path
+                # cache, the remaining steps run decoder-only from that
+                # cache. Any remainder steps run the exact full body.
+                k = enc_reuse
+                n_main = (steps // k) * k
+                main_grid = ts_grid[:n_main].reshape(-1, k)
+                tail_grid = ts_grid[n_main:]
+
+                def group_body(carry, ts_k):
+                    lat, rng = carry
+                    rng, r0 = jax.random.split(rng)
+                    pred, cache = denoise_at(lat, ts_k[0], return_cache=True)
+                    lat = sched_step(pred, ts_k[0], lat, r0)
+                    for i in range(1, k):
+                        rng, ri = jax.random.split(rng)
+                        pred = denoise_at(lat, ts_k[i], cached=cache)
+                        lat = sched_step(pred, ts_k[i], lat, ri)
+                    return (lat, rng), None
+
+                (lat, rng), _ = jax.lax.scan(group_body, (latents, rng), main_grid)
+                if tail_grid.shape[0]:
+                    (lat, _), _ = jax.lax.scan(body, (lat, rng), tail_grid)
             img = self.vae.apply(
                 params["vae"], lat / cfgm.vae.scaling_factor, method=self.vae.decode
             )
@@ -315,12 +346,18 @@ class MVDPipeline:
         loop runs under shard_map."""
         from ..parallel import sharded_denoise_fn
 
-        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler, gen_latents) = key
+        (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler, gen_latents,
+         enc_reuse) = key
         if do_cfg:
             raise ValueError(
                 "classifier-free guidance is not supported in the view-sharded "
                 "sampling path (the reference's multi-view generation runs "
                 "guidance 1.0 — training.py:329-342); pass guidance_scale=1.0"
+            )
+        if enc_reuse > 1:
+            raise ValueError(
+                "encoder_reuse fast sampling is not supported in the "
+                "view-sharded path yet; use encoder_reuse=1"
             )
         schedule = self.schedule
         ts_grid = jnp.asarray(inference_timesteps(schedule, steps))
@@ -405,9 +442,17 @@ class MVDPipeline:
         seed: int = 0,
         rng: Optional[jax.Array] = None,
         output_type: str = "np",
+        encoder_reuse: int = 1,
     ):
         """Generate images. Returns dict with "images": (B, H, W, 3) in [0,1]
-        (the reference returns the same range, pipeline.py:176)."""
+        (the reference returns the same range, pipeline.py:176).
+
+        ``encoder_reuse=k`` (k > 1) enables encoder-propagation fast sampling
+        ("Faster Diffusion", arXiv 2312.09608): within each group of k steps
+        only the first runs the UNet down path; the rest reuse its cached
+        skip/bottleneck activations and recompute the decoder only. This is
+        an APPROXIMATION (outputs differ slightly from exact sampling) —
+        default 1 keeps the exact reference-faithful trajectory."""
         cfg = self.config
         if prompt is None:
             prompt = ""
@@ -482,9 +527,11 @@ class MVDPipeline:
         src_cam = prep_cam(source_camera) if has_cam else np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
         tgt_cam = prep_cam(target_camera) if has_cam else np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
 
+        if encoder_reuse < 1:
+            raise ValueError(f"encoder_reuse must be >= 1, got {encoder_reuse}")
         key = (
             B, lat_h, lat_w, num_inference_steps, do_cfg, has_img, has_cam,
-            cfg.scheduler.sampler, gen_latents,
+            cfg.scheduler.sampler, gen_latents, encoder_reuse,
         )
         fn = self._generate_fn(key)
         images = fn(
