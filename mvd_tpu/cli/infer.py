@@ -38,6 +38,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="k>1 enables approximate encoder-propagation fast sampling "
         "(skip the UNet down path at k-1 of every k steps; arXiv 2312.09608)",
     )
+    p.add_argument(
+        "--sampler", type=str, default=None,
+        choices=["ddpm", "ddim", "dpmpp_2m"],
+        help="override the config sampler (dpmpp_2m: 2nd-order DPM-Solver++ "
+        "— ~10 steps where DDIM needs 20-50)",
+    )
     return p
 
 
@@ -104,6 +110,7 @@ def main(argv=None):
             ref_scale=args.ref_scale,
             seed=args.seed + i,
             encoder_reuse=args.encoder_reuse,
+            sampler=args.sampler,
         )
         img = np.asarray(out["images"][0])
         if args.reference_rescale_quirk:

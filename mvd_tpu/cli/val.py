@@ -26,6 +26,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--inception-weights", default=None,
                    help="pytorch-fid InceptionV3 .pth (standard FID)")
     p.add_argument("--fid", action="store_true", help="FID-VGG (needs --vgg-weights)")
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=["ddpm", "ddim", "dpmpp_2m"],
+                   help="override the config sampler")
+    p.add_argument("--encoder-reuse", type=int, default=1,
+                   help="k>1: approximate encoder-propagation fast sampling")
     return p
 
 
@@ -94,6 +99,8 @@ def main(argv=None):
         ref_scale=args.ref_scale,
         max_batches=max_batches,
         towers=towers,
+        sampler=args.sampler,
+        encoder_reuse=args.encoder_reuse,
     )
     for k, v in overall.items():
         print(f"{k}: {v}")

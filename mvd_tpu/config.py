@@ -150,7 +150,7 @@ class SchedulerConfig:
     prediction_type: str = "v_prediction"
     shift_mode: str = "interpolated"  # none | default | interpolated
     shift_scale: float = 6.0
-    sampler: str = "ddpm"  # ddpm | ddim
+    sampler: str = "ddpm"  # ddpm | ddim | dpmpp_2m
     steps_offset: int = 1
     timestep_spacing: str = "leading"
 

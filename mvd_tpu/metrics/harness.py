@@ -35,6 +35,8 @@ def run_validation(
     save_images: bool = True,
     seed: int = 0,
     towers: Optional[Dict] = None,
+    sampler: Optional[str] = None,
+    encoder_reuse: int = 1,
 ) -> Dict[str, float]:
     """``towers``: optional dict with any of {"perceptual", "lpips", "clip",
     "fid"} metric objects (mvd_tpu.metrics.towers / .fid); each is used only
@@ -70,6 +72,8 @@ def run_validation(
             ref_scale=ref_scale,
             seed=seed + bi,
             output_type="jnp",
+            sampler=sampler,
+            encoder_reuse=encoder_reuse,
         )
         jax.block_until_ready(out["images"])
         dt = time.perf_counter() - t0

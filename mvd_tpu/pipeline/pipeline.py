@@ -30,8 +30,11 @@ import numpy as np
 from ..config import ModelConfig
 from ..diffusion import (
     NoiseSchedule,
+    SAMPLERS,
     ddim_step,
     ddpm_step,
+    dpmpp_2m_init,
+    dpmpp_2m_step,
     inference_timesteps,
     make_shifted_schedule,
 )
@@ -285,22 +288,33 @@ class MVDPipeline:
                     method=self.mvd_unet.denoise,
                 )
 
-            def sched_step(pred, t, lat, step_rng):
+            def sched_step(pred, t, lat, step_rng, sstate):
                 if do_cfg:
                     un, co = jnp.split(pred, 2, axis=0)
                     pred = un + guidance_scale * (co - un)
                 if sampler == "ddim":
-                    return ddim_step(schedule, pred, t, lat, steps)
-                return ddpm_step(schedule, pred, t, lat, step_rng, steps)
+                    return ddim_step(schedule, pred, t, lat, steps), sstate
+                if sampler == "dpmpp_2m":
+                    return dpmpp_2m_step(schedule, pred, t, lat, sstate, steps)
+                return ddpm_step(schedule, pred, t, lat, step_rng, steps), sstate
+
+            # multistep sampler memory, threaded explicitly through the scan
+            # carry (dpmpp_2m keeps the previous x0 prediction; the
+            # single-step samplers carry an empty placeholder)
+            sstate0 = (
+                dpmpp_2m_init(latents)
+                if sampler == "dpmpp_2m"
+                else jnp.zeros((), jnp.float32)
+            )
 
             def body(carry, t):
-                lat, rng = carry
+                lat, rng, st = carry
                 rng, step_rng = jax.random.split(rng)
-                lat = sched_step(denoise_at(lat, t), t, lat, step_rng)
-                return (lat, rng), None
+                lat, st = sched_step(denoise_at(lat, t), t, lat, step_rng, st)
+                return (lat, rng, st), None
 
             if enc_reuse <= 1:
-                (lat, _), _ = jax.lax.scan(body, (latents, rng), ts_grid)
+                (lat, _, _), _ = jax.lax.scan(body, (latents, rng, sstate0), ts_grid)
             else:
                 # encoder propagation ("Faster Diffusion", arXiv 2312.09608):
                 # scan over groups of ``enc_reuse`` steps — the group's first
@@ -313,19 +327,23 @@ class MVDPipeline:
                 tail_grid = ts_grid[n_main:]
 
                 def group_body(carry, ts_k):
-                    lat, rng = carry
+                    lat, rng, st = carry
                     rng, r0 = jax.random.split(rng)
                     pred, cache = denoise_at(lat, ts_k[0], return_cache=True)
-                    lat = sched_step(pred, ts_k[0], lat, r0)
+                    lat, st = sched_step(pred, ts_k[0], lat, r0, st)
                     for i in range(1, k):
                         rng, ri = jax.random.split(rng)
                         pred = denoise_at(lat, ts_k[i], cached=cache)
-                        lat = sched_step(pred, ts_k[i], lat, ri)
-                    return (lat, rng), None
+                        lat, st = sched_step(pred, ts_k[i], lat, ri, st)
+                    return (lat, rng, st), None
 
-                (lat, rng), _ = jax.lax.scan(group_body, (latents, rng), main_grid)
+                (lat, rng, sstate0), _ = jax.lax.scan(
+                    group_body, (latents, rng, sstate0), main_grid
+                )
                 if tail_grid.shape[0]:
-                    (lat, _), _ = jax.lax.scan(body, (lat, rng), tail_grid)
+                    (lat, _, _), _ = jax.lax.scan(
+                        body, (lat, rng, sstate0), tail_grid
+                    )
             img = self.vae.apply(
                 params["vae"], lat / cfgm.vae.scaling_factor, method=self.vae.decode
             )
@@ -397,8 +415,14 @@ class MVDPipeline:
             ref_bv = jax.tree_util.tree_map(bv, ref_feats)
             text_bv = bv(embeds)
 
+            sstate0 = (
+                dpmpp_2m_init(latents)
+                if sampler == "dpmpp_2m"
+                else jnp.zeros((), jnp.float32)
+            )
+
             def body(carry, t):
-                lat, rng = carry
+                lat, rng, st = carry
                 rng, step_rng = jax.random.split(rng)
                 pred = denoise(
                     params["mvd"], lat, t, text_bv, film_bv, ref_bv, ref_scale
@@ -409,13 +433,17 @@ class MVDPipeline:
                 flat = lambda x: x.reshape((B,) + x.shape[2:])
                 if sampler == "ddim":
                     nxt = ddim_step(schedule, flat(pred), t, flat(lat), steps)
+                elif sampler == "dpmpp_2m":
+                    nxt, st = dpmpp_2m_step(
+                        schedule, flat(pred), t, flat(lat), st, steps
+                    )
                 else:
                     nxt = ddpm_step(
                         schedule, flat(pred), t, flat(lat), step_rng, steps
                     )
-                return (bv(nxt), rng), None
+                return (bv(nxt), rng, st), None
 
-            (lat, _), _ = jax.lax.scan(body, (bv(latents), rng), ts_grid)
+            (lat, _, _), _ = jax.lax.scan(body, (bv(latents), rng, sstate0), ts_grid)
             lat = lat.reshape((B,) + lat.shape[2:])
             img = self.vae.apply(
                 params["vae"], lat / cfgm.vae.scaling_factor, method=self.vae.decode
@@ -443,6 +471,7 @@ class MVDPipeline:
         rng: Optional[jax.Array] = None,
         output_type: str = "np",
         encoder_reuse: int = 1,
+        sampler: Optional[str] = None,
     ):
         """Generate images. Returns dict with "images": (B, H, W, 3) in [0,1]
         (the reference returns the same range, pipeline.py:176).
@@ -452,7 +481,12 @@ class MVDPipeline:
         only the first runs the UNet down path; the rest reuse its cached
         skip/bottleneck activations and recompute the decoder only. This is
         an APPROXIMATION (outputs differ slightly from exact sampling) —
-        default 1 keeps the exact reference-faithful trajectory."""
+        default 1 keeps the exact reference-faithful trajectory.
+
+        ``sampler`` overrides the config's scheduler.sampler per call:
+        "ddpm" (ancestral, the reference's mode), "ddim", or "dpmpp_2m"
+        (second-order DPM-Solver++ multistep — ~10 steps where DDIM needs
+        20-50)."""
         cfg = self.config
         if prompt is None:
             prompt = ""
@@ -529,9 +563,12 @@ class MVDPipeline:
 
         if encoder_reuse < 1:
             raise ValueError(f"encoder_reuse must be >= 1, got {encoder_reuse}")
+        sampler = sampler or cfg.scheduler.sampler
+        if sampler not in SAMPLERS:
+            raise ValueError(f"unknown sampler {sampler!r}; expected one of {SAMPLERS}")
         key = (
             B, lat_h, lat_w, num_inference_steps, do_cfg, has_img, has_cam,
-            cfg.scheduler.sampler, gen_latents, encoder_reuse,
+            sampler, gen_latents, encoder_reuse,
         )
         fn = self._generate_fn(key)
         images = fn(
