@@ -1,10 +1,11 @@
-"""A/B bench: exact sampling vs encoder-propagation fast sampling.
+"""A/B bench: exact sampling vs the opt-in fast-sampling modes.
 
-Full-scale SD2.1 4-view 512², 20-step DDPM, one chip. Reports img/sec for
-encoder_reuse in {1, 2, 3} plus the pixel-space delta of the approximation
-vs the exact trajectory (same seed). See docs/PERFORMANCE.md and
-tests/test_encoder_reuse.py; technique: "Faster Diffusion" (arXiv
-2312.09608).
+Full-scale SD2.1 4-view 512², one chip. Reports img/sec for
+encoder_reuse in {1, 2, 3} (20-step DDPM; "Faster Diffusion", arXiv
+2312.09608) plus DPM-Solver++(2M) at 10 steps (arXiv 2211.01095 — ~half
+the UNet evaluations at matched quality), with the pixel-space delta of
+each mode vs the exact 20-step trajectory (same seed). See
+docs/PERFORMANCE.md, tests/test_encoder_reuse.py, tests/test_dpm_solver.py.
 """
 
 import json
@@ -56,28 +57,39 @@ def main():
     prompts = ["a 3d object"] * NUM_VIEWS
     sync = lambda x: float(jnp.sum(x))
 
+    # (label, pipeline-call overrides); first entry is the exact baseline
+    modes = [
+        ("encoder_reuse=1", {"encoder_reuse": 1}),
+        ("encoder_reuse=2", {"encoder_reuse": 2}),
+        ("encoder_reuse=3", {"encoder_reuse": 3}),
+        ("dpmpp_2m@10steps", {"sampler": "dpmpp_2m", "num_inference_steps": 10}),
+        ("dpmpp_2m@10steps+reuse2", {"sampler": "dpmpp_2m",
+                                     "num_inference_steps": 10,
+                                     "encoder_reuse": 2}),
+    ]
     results = {}
     ref_img = None
-    for k in (1, 2, 3):
-        print(f"compile k={k}...", file=sys.stderr, flush=True)
-        out = pipe(prompts, seed=0, output_type="jnp", encoder_reuse=k, **kwargs)
+    for label, over in modes:
+        print(f"compile {label}...", file=sys.stderr, flush=True)
+        kw = {**kwargs, **over}
+        out = pipe(prompts, seed=0, output_type="jnp", **kw)
         sync(out["images"])
         img0 = np.asarray(out["images"])
-        if k == 1:
+        if ref_img is None:
             ref_img = img0
         n = 3
         t0 = time.perf_counter()
         for i in range(n):
-            out = pipe(prompts, seed=i + 1, output_type="jnp", encoder_reuse=k, **kwargs)
+            out = pipe(prompts, seed=i + 1, output_type="jnp", **kw)
             sync(out["images"])
         dt = time.perf_counter() - t0
         mae = float(np.abs(img0 - ref_img).mean())
-        results[f"encoder_reuse={k}"] = {
+        results[label] = {
             "img_per_sec": round(n * NUM_VIEWS / dt, 4),
             "sec_per_batch": round(dt / n, 4),
             "mean_abs_pixel_delta_vs_exact": round(mae, 6),
         }
-        print(json.dumps({f"encoder_reuse={k}": results[f"encoder_reuse={k}"]}), flush=True)
+        print(json.dumps({label: results[label]}), flush=True)
 
     print(json.dumps({"backend": jax.default_backend(), "results": results}))
 
