@@ -349,6 +349,48 @@ def ddim_step(
     return prev_sample.astype(sample.dtype)
 
 
+def ddim_inverse_step(
+    schedule: NoiseSchedule,
+    model_output: jnp.ndarray,
+    timestep: jnp.ndarray,
+    sample: jnp.ndarray,
+    num_inference_steps: int,
+) -> jnp.ndarray:
+    """One DDIM inversion step: the sample living at time ``timestep - T//n``
+    (clean when that is < 0) is mapped UP the noise schedule to ``timestep``,
+    with the model evaluated at ``timestep`` (diffusers DDIMInverseScheduler
+    semantics — the source-time conversion / target-time evaluation mismatch
+    is the standard O(step) approximation; for epsilon-prediction the step is
+    the exact algebraic inverse of :func:`ddim_step` given the same model
+    output).
+
+    Used for DDIM-inversion workflows (e.g. novel view synthesis from an
+    inverted source latent, arXiv 2508.10688); the reference has no
+    inversion path."""
+    T = schedule.num_train_timesteps
+    s = timestep - T // num_inference_steps  # where `sample` currently lives
+    ac_s = jnp.where(s >= 0, schedule.alphas_cumprod[jnp.maximum(s, 0)], 1.0)
+    sa_s, so_s = jnp.sqrt(ac_s), jnp.sqrt(1.0 - ac_s)
+
+    p = schedule.prediction_type
+    if p == "epsilon":
+        eps = model_output
+        x0 = (sample - so_s * eps) / sa_s
+    elif p == "v_prediction":
+        x0 = sa_s * sample - so_s * model_output
+        eps = sa_s * model_output + so_s * sample
+    elif p == "sample":
+        x0 = model_output
+        eps = (sample - sa_s * x0) / jnp.maximum(so_s, 1e-12)
+    else:
+        raise ValueError(f"unknown prediction_type: {p}")
+    x0 = _clip(schedule, x0)
+
+    ac_t = schedule.alphas_cumprod[timestep]
+    nxt = jnp.sqrt(ac_t) * x0 + jnp.sqrt(1.0 - ac_t) * eps
+    return nxt.astype(sample.dtype)
+
+
 def dpmpp_2m_init(sample: jnp.ndarray):
     """Initial multistep state for :func:`dpmpp_2m_step`.
 

@@ -31,6 +31,7 @@ from ..config import ModelConfig
 from ..diffusion import (
     NoiseSchedule,
     SAMPLERS,
+    ddim_inverse_step,
     ddim_step,
     ddpm_step,
     dpmpp_2m_init,
@@ -451,6 +452,143 @@ class MVDPipeline:
             return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
         return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def _invert_fn(self, key):
+        """Build (and cache) the jitted DDIM-inversion program for one
+        static signature: VAE mean-encode -> conditioning prep -> ascending
+        `lax.scan` of ddim_inverse_step -> noised latents."""
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        (_, B, lat_h, lat_w, steps, has_img, has_cam) = key
+        schedule = self.schedule
+        asc_grid = jnp.asarray(inference_timesteps(schedule, steps)[::-1].copy())
+
+        def fn(params, ids, images, src_images, src_cam, tgt_cam, ref_scale):
+            embeds = self.text_encoder.apply(params["text_encoder"], ids)
+            # deterministic (mean-mode) VAE encode of the images to invert
+            mean, _ = self.vae.apply(
+                params["vae"], _signed_range(images), method=self.vae.encode_moments
+            )
+            latents = mean * self.config.vae.scaling_factor
+
+            src_latents = None
+            if has_img:
+                s_mean, _ = self.vae.apply(
+                    params["vae"], _signed_range(src_images),
+                    method=self.vae.encode_moments,
+                )
+                s_lat = s_mean * self.config.vae.scaling_factor
+                if s_lat.shape[0] != B:
+                    s_lat = jnp.tile(s_lat, (B // s_lat.shape[0], 1, 1, 1))
+                src_latents = s_lat
+
+            film, ref_feats = self.mvd_unet.apply(
+                params["mvd"],
+                embeds,
+                src_cam if has_cam else None,
+                tgt_cam if has_cam else None,
+                src_latents,
+                cfg_batch=B,
+                precompute_kv=True,
+                method=self.mvd_unet.prepare_conditioning,
+            )
+
+            def body(lat, t):
+                pred = self.mvd_unet.apply(
+                    params["mvd"], lat, t, embeds, film, ref_feats, ref_scale,
+                    method=self.mvd_unet.denoise,
+                )
+                return ddim_inverse_step(schedule, pred, t, lat, steps), None
+
+            lat, _ = jax.lax.scan(body, latents, asc_grid)
+            return lat
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    def invert(
+        self,
+        images,
+        prompt: Union[str, List[str], None] = None,
+        num_inference_steps: int = 50,
+        source_camera: Optional[np.ndarray] = None,
+        target_camera: Optional[np.ndarray] = None,
+        source_images: Optional[np.ndarray] = None,
+        ref_scale: float = 0.1,
+        output_type: str = "np",
+    ):
+        """DDIM inversion: map clean images ([0,1], NHWC) up the noise
+        schedule to their initial latents, such that a deterministic DDIM
+        resample with the same prompt/conditioning/step count approximately
+        reconstructs the input (novel-view-synthesis-by-inversion workflows,
+        arXiv 2508.10688; the reference has no inversion path). Deterministic:
+        mean-mode VAE encode, no noise draws, guidance 1.0. Returns
+        {"latents": (B, h/8, w/8, 4)} — feed back via ``pipe(latents=...,
+        sampler="ddim", guidance_scale=1.0)``."""
+        cfg = self.config
+        if prompt is None:
+            prompt = ""
+        if isinstance(prompt, str):
+            prompt = [prompt]
+
+        images = np.asarray(images, np.float32) if not isinstance(images, jax.Array) else images
+        if images.ndim == 3:
+            images = images[None]
+        B = images.shape[0]
+        if len(prompt) == 1:
+            prompt = prompt * B
+        if len(prompt) != B:
+            raise ValueError(f"{len(prompt)} prompts for {B} images")
+        lat_h, lat_w = images.shape[1] // 8, images.shape[2] // 8
+
+        ids = np.asarray(self.tokenizer(prompt))
+        has_img = cfg.use_image_conditioning and source_images is not None
+        has_cam = cfg.use_camera_conditioning and target_camera is not None
+
+        src_images = np.zeros((1, images.shape[1], images.shape[2], 3), np.float32)
+        if has_img:
+            src = source_images
+            if not isinstance(src, jax.Array):
+                src = np.asarray(src, np.float32)
+            if src.ndim == 3:
+                src = src[None]
+            if B % src.shape[0]:
+                raise ValueError(
+                    f"batch {B} is not a multiple of {src.shape[0]} source images"
+                )
+            src_images = src
+
+        def prep_cam(c):
+            c = np.asarray(c, np.float32)
+            if c.ndim == 2:
+                c = c[None]
+            if c.shape[-2] == 3:
+                pad = np.tile(np.array([0, 0, 0, 1], np.float32), (c.shape[0], 1, 1))
+                c = np.concatenate([c, pad], axis=-2)
+            if c.shape[0] < B:
+                c = np.tile(c, (B // c.shape[0], 1, 1))
+            return c
+
+        eye = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        src_cam = prep_cam(source_camera) if has_cam else eye
+        tgt_cam = prep_cam(target_camera) if has_cam else eye
+
+        key = ("invert", B, lat_h, lat_w, num_inference_steps, has_img, has_cam)
+        fn = self._invert_fn(key)
+        latents = fn(
+            self.compute_params,
+            jnp.asarray(ids),
+            images if isinstance(images, jax.Array) else jnp.asarray(images),
+            src_images if isinstance(src_images, jax.Array) else jnp.asarray(src_images),
+            jnp.asarray(src_cam),
+            jnp.asarray(tgt_cam),
+            jnp.float32(ref_scale),
+        )
+        if output_type == "np":
+            latents = np.asarray(latents)
+        return {"latents": latents}
 
     # ------------------------------------------------------------------
     def __call__(
