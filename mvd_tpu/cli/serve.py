@@ -8,7 +8,8 @@ equivalent — the reference stops at a CLI; serving is first-class here):
 POST /generate   {"prompt": str, "num_views": int, "num_steps": int,
                   "guidance_scale": float, "ref_scale": float,
                   "seed": int, "source_image_b64": png-b64?,
-                  "source_camera": [[...4x4]]?, "target_cameras": [[...]]?}
+                  "source_camera": [[...4x4]]?, "target_cameras": [[...]]?,
+                  "sampler": "ddpm"|"ddim"|"dpmpp_2m"?, "encoder_reuse": int?}
     -> {"images_b64": [png...], "latency_s": float}
 GET /healthz     -> {"ok": true, "backend": "...", "compiled_signatures": N}
 
@@ -110,6 +111,8 @@ def make_handler(pipe, size: int, lock: threading.Lock):
                         source_images=src_img,
                         ref_scale=float(req.get("ref_scale", 1.0)),
                         seed=int(req.get("seed", 0)),
+                        sampler=req.get("sampler"),
+                        encoder_reuse=int(req.get("encoder_reuse", 1)),
                     )
                 images = np.asarray(out["images"])
                 self._json(

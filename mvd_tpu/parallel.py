@@ -80,6 +80,76 @@ def sharded_denoise_fn(
     return fn
 
 
+def sharded_denoise_cache_fns(mvd_unet, mesh: Mesh):
+    """Cache-returning / cache-consuming variants of ``sharded_denoise_fn``
+    for encoder-propagation fast sampling (pipeline ``encoder_reuse=k``).
+
+    The encoder cache pytree keeps the model's flat-row convention with
+    axis 0 sharded over ``(data, view)`` — it only ever flows from one
+    shard_map call into the next within the same traced group, so the
+    global layout just needs to be self-consistent.
+
+    Returns ``(with_cache, cached)``:
+      * ``with_cache(params, sample_bv, t, text_bv, film, ref, scale)``
+        -> ``(pred_bv, cache)``
+      * ``cached(params, cache, sample_bv, t, text_bv, film, ref, scale)``
+        -> ``pred_bv`` (the down path is skipped; sample is shape-only)
+    """
+    V_local = mvd_unet.cfg.unet.num_views // mesh.shape["view"]
+    cache_spec = P(("data", "view"))  # prefix spec, axis 0 over both axes
+
+    def body_with_cache(params, sample, t, text, film, ref_features, ref_scale):
+        sample = _flatten_bv(sample)
+        text = _flatten_bv(text)
+        film = jax.tree_util.tree_map(_flatten_bv, film)
+        ref_features = jax.tree_util.tree_map(_flatten_bv, ref_features)
+        out, cache = mvd_unet.apply(
+            params, sample, t, text, film, ref_features, ref_scale,
+            return_encoder_cache=True, method=mvd_unet.denoise,
+        )
+        return out.reshape((-1, V_local) + out.shape[1:]), cache
+
+    def body_cached(params, cache, sample, t, text, film, ref_features, ref_scale):
+        sample = _flatten_bv(sample)
+        text = _flatten_bv(text)
+        film = jax.tree_util.tree_map(_flatten_bv, film)
+        ref_features = jax.tree_util.tree_map(_flatten_bv, ref_features)
+        out = mvd_unet.apply(
+            params, sample, t, text, film, ref_features, ref_scale,
+            cached_encoder=cache, method=mvd_unet.denoise,
+        )
+        return out.reshape((-1, V_local) + out.shape[1:])
+
+    def specs_for(tree):
+        return jax.tree_util.tree_map(lambda x: _bv_spec(jnp.ndim(x)), tree)
+
+    def with_cache(params, sample, t, text, film=None, ref_features=None,
+                   ref_scale=None):
+        in_specs = (
+            P(), _bv_spec(sample.ndim), P(), _bv_spec(text.ndim),
+            specs_for(film), specs_for(ref_features), P(),
+        )
+        mapped = shard_map(
+            body_with_cache, mesh=mesh, in_specs=in_specs,
+            out_specs=(_bv_spec(sample.ndim), cache_spec), check_vma=False,
+        )
+        return mapped(params, sample, t, text, film, ref_features, ref_scale)
+
+    def cached(params, cache, sample, t, text, film=None, ref_features=None,
+               ref_scale=None):
+        in_specs = (
+            P(), cache_spec, _bv_spec(sample.ndim), P(), _bv_spec(text.ndim),
+            specs_for(film), specs_for(ref_features), P(),
+        )
+        mapped = shard_map(
+            body_cached, mesh=mesh, in_specs=in_specs,
+            out_specs=_bv_spec(sample.ndim), check_vma=False,
+        )
+        return mapped(params, cache, sample, t, text, film, ref_features, ref_scale)
+
+    return with_cache, cached
+
+
 def make_sharded_sampler(
     mvd_unet,
     mesh: Mesh,

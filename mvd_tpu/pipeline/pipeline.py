@@ -363,7 +363,7 @@ class MVDPipeline:
         generation unsharded, guidance 1.0). Conditioning is prepared by the
         unsharded twin (per-row ops, GSPMD-partitioned), only the denoise
         loop runs under shard_map."""
-        from ..parallel import sharded_denoise_fn
+        from ..parallel import sharded_denoise_cache_fns, sharded_denoise_fn
 
         (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler, gen_latents,
          enc_reuse) = key
@@ -373,11 +373,6 @@ class MVDPipeline:
                 "sampling path (the reference's multi-view generation runs "
                 "guidance 1.0 — training.py:329-342); pass guidance_scale=1.0"
             )
-        if enc_reuse > 1:
-            raise ValueError(
-                "encoder_reuse fast sampling is not supported in the "
-                "view-sharded path yet; use encoder_reuse=1"
-            )
         schedule = self.schedule
         ts_grid = jnp.asarray(inference_timesteps(schedule, steps))
         cfgm = self.config
@@ -385,6 +380,10 @@ class MVDPipeline:
         if B % V:
             raise ValueError(f"view-sharded generation needs batch % num_views == 0, got {B} % {V}")
         denoise = sharded_denoise_fn(self.mvd_unet, self.mesh)
+        if enc_reuse > 1:
+            denoise_with_cache, denoise_cached = sharded_denoise_cache_fns(
+                self.mvd_unet, self.mesh
+            )
 
         def fn(params, ids, neg_ids, latents, src_images, src_cam, tgt_cam,
                guidance_scale, ref_scale, rng):
@@ -422,29 +421,70 @@ class MVDPipeline:
                 else jnp.zeros((), jnp.float32)
             )
 
+            # scheduler step on the flat (B, ...) view so the DDPM noise
+            # draw is bit-identical to the unsharded pipeline (the merged
+            # (data x view) axis stays sharded under GSPMD)
+            flat = lambda x: x.reshape((B,) + x.shape[2:])
+
+            def sched_step(pred, t, lat, step_rng, st):
+                if sampler == "ddim":
+                    return ddim_step(schedule, flat(pred), t, flat(lat), steps), st
+                if sampler == "dpmpp_2m":
+                    return dpmpp_2m_step(
+                        schedule, flat(pred), t, flat(lat), st, steps
+                    )
+                return ddpm_step(
+                    schedule, flat(pred), t, flat(lat), step_rng, steps
+                ), st
+
             def body(carry, t):
                 lat, rng, st = carry
                 rng, step_rng = jax.random.split(rng)
                 pred = denoise(
                     params["mvd"], lat, t, text_bv, film_bv, ref_bv, ref_scale
                 )
-                # scheduler step on the flat (B, ...) view so the DDPM noise
-                # draw is bit-identical to the unsharded pipeline (the merged
-                # (data x view) axis stays sharded under GSPMD)
-                flat = lambda x: x.reshape((B,) + x.shape[2:])
-                if sampler == "ddim":
-                    nxt = ddim_step(schedule, flat(pred), t, flat(lat), steps)
-                elif sampler == "dpmpp_2m":
-                    nxt, st = dpmpp_2m_step(
-                        schedule, flat(pred), t, flat(lat), st, steps
-                    )
-                else:
-                    nxt = ddpm_step(
-                        schedule, flat(pred), t, flat(lat), step_rng, steps
-                    )
+                nxt, st = sched_step(pred, t, lat, step_rng, st)
                 return (bv(nxt), rng, st), None
 
-            (lat, _, _), _ = jax.lax.scan(body, (bv(latents), rng, sstate0), ts_grid)
+            if enc_reuse <= 1:
+                (lat, _, _), _ = jax.lax.scan(
+                    body, (bv(latents), rng, sstate0), ts_grid
+                )
+            else:
+                # encoder propagation under view sharding: same grouping as
+                # the unsharded path; the key step's down-path cache flows
+                # from one shard_map call into the next within the group
+                k = enc_reuse
+                n_main = (steps // k) * k
+                main_grid = ts_grid[:n_main].reshape(-1, k)
+                tail_grid = ts_grid[n_main:]
+
+                def group_body(carry, ts_k):
+                    lat, rng, st = carry
+                    rng, r0 = jax.random.split(rng)
+                    pred, cache = denoise_with_cache(
+                        params["mvd"], lat, ts_k[0], text_bv, film_bv, ref_bv,
+                        ref_scale,
+                    )
+                    nxt, st = sched_step(pred, ts_k[0], lat, r0, st)
+                    lat = bv(nxt)
+                    for i in range(1, k):
+                        rng, ri = jax.random.split(rng)
+                        pred = denoise_cached(
+                            params["mvd"], cache, lat, ts_k[i], text_bv,
+                            film_bv, ref_bv, ref_scale,
+                        )
+                        nxt, st = sched_step(pred, ts_k[i], lat, ri, st)
+                        lat = bv(nxt)
+                    return (lat, rng, st), None
+
+                (lat, rng, sstate0), _ = jax.lax.scan(
+                    group_body, (bv(latents), rng, sstate0), main_grid
+                )
+                if tail_grid.shape[0]:
+                    (lat, _, _), _ = jax.lax.scan(
+                        body, (lat, rng, sstate0), tail_grid
+                    )
             lat = lat.reshape((B,) + lat.shape[2:])
             img = self.vae.apply(
                 params["vae"], lat / cfgm.vae.scaling_factor, method=self.vae.decode

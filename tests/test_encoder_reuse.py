@@ -93,3 +93,38 @@ def test_reuse_with_tail_steps(pipe):
 def test_reuse_rejects_bad_value(pipe):
     with pytest.raises(ValueError):
         pipe("a chair", num_inference_steps=2, encoder_reuse=0)
+
+
+def test_view_sharded_reuse_matches_unsharded():
+    """encoder_reuse under view sharding: the key step's down-path cache
+    flows between shard_map calls; images match the unsharded joint-attention
+    pipeline (same grouping, same rng folds)."""
+    from mvd_tpu.mesh import make_mesh
+    from mvd_tpu.parallel import for_view_sharding
+
+    V = 2
+    mesh = make_mesh(data=2, view=V)
+    cfg_u = for_view_sharding(TINY_MODEL, num_views=V, view_devices=1)
+    cfg_s = for_view_sharding(TINY_MODEL, num_views=V, view_devices=V)
+    pipe_u = MVDPipeline.create(cfg_u, jax.random.PRNGKey(0))
+    pipe_s = MVDPipeline(cfg_s, pipe_u.params, pipe_u.tokenizer, mesh=mesh)
+    assert pipe_s.view_sharded
+
+    hw = TINY_MODEL.unet.sample_size * 8
+    n = 4
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0, 1, (n, hw, hw, 3)).astype(np.float32)
+    cams = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    kwargs = dict(
+        num_inference_steps=5,  # 2 reuse groups + 1 exact tail step
+        guidance_scale=1.0,
+        source_camera=cams,
+        target_camera=cams,
+        source_images=src,
+        ref_scale=0.1,
+        seed=3,
+        encoder_reuse=2,
+    )
+    want = pipe_u([""] * n, **kwargs)["images"]
+    got = pipe_s([""] * n, **kwargs)["images"]
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
