@@ -44,6 +44,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="override the config sampler (dpmpp_2m: 2nd-order DPM-Solver++ "
         "— ~10 steps where DDIM needs 20-50)",
     )
+    p.add_argument(
+        "--invert-init", action="store_true",
+        help="initialize generation from the DDIM inversion of the source "
+        "image (under the source camera) instead of random noise — "
+        "structure-preserving novel views (arXiv 2508.10688)",
+    )
     return p
 
 
@@ -97,6 +103,22 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     save_image(src_img[0], os.path.join(args.output_dir, "source.png"))
 
+    init_latents = None
+    if args.invert_init:
+        import jax.numpy as jnp
+
+        inv = pipe.invert(
+            (src_img + 1) / 2,
+            args.prompt,
+            num_inference_steps=args.num_steps,
+            # the image IS the source view: invert under the source camera
+            source_camera=source_cam,
+            target_camera=source_cam,
+            source_images=(src_img + 1) / 2,
+            ref_scale=args.ref_scale,
+        )
+        init_latents = jnp.asarray(inv["latents"])
+
     for i in range(args.num_images):
         out = pipe(
             args.prompt,
@@ -111,6 +133,7 @@ def main(argv=None):
             seed=args.seed + i,
             encoder_reuse=args.encoder_reuse,
             sampler=args.sampler,
+            latents=init_latents,
         )
         img = np.asarray(out["images"][0])
         if args.reference_rescale_quirk:

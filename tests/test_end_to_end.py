@@ -111,3 +111,21 @@ def test_infer_cli(tmp_path):
     assert os.path.exists(os.path.join(out, "generated_00.png"))
     assert os.path.exists(os.path.join(out, "comparison_00.png"))
     assert os.path.exists(os.path.join(out, "source.png"))
+
+
+def test_infer_cli_invert_init(tmp_path):
+    from mvd_tpu.cli.infer import main
+
+    out = str(tmp_path / "inv")
+    main(
+        [
+            "--tiny",
+            "--num-images", "1",
+            "--num-steps", "2",
+            "--output-dir", out,
+            "--prompt", "a chair",
+            "--invert-init",
+            "--sampler", "ddim",
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "generated_00.png"))
