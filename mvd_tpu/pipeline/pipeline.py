@@ -367,18 +367,24 @@ class MVDPipeline:
 
         (B, lat_h, lat_w, steps, do_cfg, has_img, has_cam, sampler, gen_latents,
          enc_reuse) = key
-        if do_cfg:
-            raise ValueError(
-                "classifier-free guidance is not supported in the view-sharded "
-                "sampling path (the reference's multi-view generation runs "
-                "guidance 1.0 — training.py:329-342); pass guidance_scale=1.0"
-            )
         schedule = self.schedule
         ts_grid = jnp.asarray(inference_timesteps(schedule, steps))
         cfgm = self.config
         V = cfgm.unet.num_views
         if B % V:
             raise ValueError(f"view-sharded generation needs batch % num_views == 0, got {B} % {V}")
+        # CFG doubles the batch; B % V == 0 keeps the uncond/cond halves on
+        # whole view-groups, so joint attention never mixes them (the
+        # reference's multi-view generation runs guidance 1.0,
+        # training.py:329-342 — CFG here is a rebuild extra)
+        BB = 2 * B if do_cfg else B
+        groups = BB // V
+        if groups % self.mesh.shape["data"]:
+            raise ValueError(
+                f"view-sharded generation needs (batch x {2 if do_cfg else 1}"
+                f" [CFG]) / num_views = {groups} view-groups divisible by the"
+                f" data mesh axis ({self.mesh.shape['data']})"
+            )
         denoise = sharded_denoise_fn(self.mvd_unet, self.mesh)
         if enc_reuse > 1:
             denoise_with_cache, denoise_cached = sharded_denoise_cache_fns(
@@ -393,7 +399,13 @@ class MVDPipeline:
                     jax.random.normal(lat_rng, (B, lat_h, lat_w, 4), jnp.float32)
                     * schedule.init_noise_sigma
                 )
-            embeds = self.text_encoder.apply(params["text_encoder"], ids)
+            text = self.text_encoder.apply(params["text_encoder"], ids)
+            if do_cfg:
+                uncond = self.text_encoder.apply(params["text_encoder"], neg_ids)
+                # uncond first (reference pipeline.py:79, 156-158)
+                embeds = jnp.concatenate([uncond, text], axis=0)
+            else:
+                embeds = text
 
             src_latents = None
             if has_img:
@@ -406,14 +418,18 @@ class MVDPipeline:
                 src_cam if has_cam else None,
                 tgt_cam if has_cam else None,
                 src_latents,
-                cfg_batch=B,
+                cfg_batch=BB,
                 precompute_kv=True,
                 method=self._local_unet.prepare_conditioning,
             )
             bv = lambda x: x.reshape((B // V, V) + x.shape[1:])
-            film_bv = jax.tree_util.tree_map(bv, film)
-            ref_bv = jax.tree_util.tree_map(bv, ref_feats)
-            text_bv = bv(embeds)
+            bbv = lambda x: x.reshape((BB // V, V) + x.shape[1:])
+            film_bv = jax.tree_util.tree_map(bbv, film)
+            ref_bv = jax.tree_util.tree_map(bbv, ref_feats)
+            text_bv = bbv(embeds)
+            # latents carry B rows; the CFG duplication happens on the
+            # group axis right before each denoise call
+            dup = (lambda x: jnp.concatenate([x, x], axis=0)) if do_cfg else (lambda x: x)
 
             sstate0 = (
                 dpmpp_2m_init(latents)
@@ -424,24 +440,32 @@ class MVDPipeline:
             # scheduler step on the flat (B, ...) view so the DDPM noise
             # draw is bit-identical to the unsharded pipeline (the merged
             # (data x view) axis stays sharded under GSPMD)
-            flat = lambda x: x.reshape((B,) + x.shape[2:])
+            flatB = lambda x: x.reshape((B,) + x.shape[2:])
 
-            def sched_step(pred, t, lat, step_rng, st):
+            def guide(pred_bv):
+                p = pred_bv.reshape((BB,) + pred_bv.shape[2:])
+                if do_cfg:
+                    un, co = jnp.split(p, 2, axis=0)
+                    p = un + guidance_scale * (co - un)
+                return p  # (B, ...)
+
+            def sched_step(pred_bv, t, lat, step_rng, st):
+                pred = guide(pred_bv)
                 if sampler == "ddim":
-                    return ddim_step(schedule, flat(pred), t, flat(lat), steps), st
+                    return ddim_step(schedule, pred, t, flatB(lat), steps), st
                 if sampler == "dpmpp_2m":
                     return dpmpp_2m_step(
-                        schedule, flat(pred), t, flat(lat), st, steps
+                        schedule, pred, t, flatB(lat), st, steps
                     )
                 return ddpm_step(
-                    schedule, flat(pred), t, flat(lat), step_rng, steps
+                    schedule, pred, t, flatB(lat), step_rng, steps
                 ), st
 
             def body(carry, t):
                 lat, rng, st = carry
                 rng, step_rng = jax.random.split(rng)
                 pred = denoise(
-                    params["mvd"], lat, t, text_bv, film_bv, ref_bv, ref_scale
+                    params["mvd"], dup(lat), t, text_bv, film_bv, ref_bv, ref_scale
                 )
                 nxt, st = sched_step(pred, t, lat, step_rng, st)
                 return (bv(nxt), rng, st), None
@@ -463,15 +487,15 @@ class MVDPipeline:
                     lat, rng, st = carry
                     rng, r0 = jax.random.split(rng)
                     pred, cache = denoise_with_cache(
-                        params["mvd"], lat, ts_k[0], text_bv, film_bv, ref_bv,
-                        ref_scale,
+                        params["mvd"], dup(lat), ts_k[0], text_bv, film_bv,
+                        ref_bv, ref_scale,
                     )
                     nxt, st = sched_step(pred, ts_k[0], lat, r0, st)
                     lat = bv(nxt)
                     for i in range(1, k):
                         rng, ri = jax.random.split(rng)
                         pred = denoise_cached(
-                            params["mvd"], cache, lat, ts_k[i], text_bv,
+                            params["mvd"], cache, dup(lat), ts_k[i], text_bv,
                             film_bv, ref_bv, ref_scale,
                         )
                         nxt, st = sched_step(pred, ts_k[i], lat, ri, st)

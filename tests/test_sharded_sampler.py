@@ -118,19 +118,30 @@ def test_pipeline_routes_view_sharded_generation():
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
-def test_sharded_pipeline_rejects_cfg():
+def test_sharded_pipeline_cfg_matches_unsharded():
+    """CFG in the view-sharded path (rebuild extra — the reference's
+    multi-view generation runs guidance 1.0, training.py:329-342): the
+    doubled batch keeps uncond/cond halves on whole view-groups, so joint
+    attention never mixes them; images match the unsharded CFG pipeline."""
     V = 2
     mesh = make_mesh(data=2, view=V)
+    cfg_u = for_view_sharding(TINY_MODEL, num_views=V, view_devices=1)
     cfg_s = for_view_sharding(TINY_MODEL, num_views=V, view_devices=V)
-    pipe_u = MVDPipeline.create(
-        for_view_sharding(TINY_MODEL, num_views=V, view_devices=1),
-        jax.random.PRNGKey(0),
-    )
+    pipe_u = MVDPipeline.create(cfg_u, jax.random.PRNGKey(0))
     pipe_s = MVDPipeline(cfg_s, pipe_u.params, pipe_u.tokenizer, mesh=mesh)
-    import pytest
 
-    with pytest.raises(ValueError, match="guidance"):
-        pipe_s([""] * 4, num_inference_steps=2, guidance_scale=7.5)
+    hw = TINY_MODEL.unet.sample_size * 8
+    n = 4
+    kwargs = dict(
+        num_inference_steps=2,
+        guidance_scale=3.0,
+        negative_prompt="blurry",
+        seed=5,
+    )
+    want = pipe_u(["a chair"] * n, **kwargs)["images"]
+    got = pipe_s(["a chair"] * n, **kwargs)["images"]
+    assert got.shape == want.shape == (n, hw, hw, 3)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
 def test_eight_view_sharded_denoise():
