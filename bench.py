@@ -37,7 +37,12 @@ def main():
     from mvd_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    on_tpu = jax.default_backend() == "tpu"
+    from mvd_tpu.utils.backend import require_backend
+
+    # Bounded probe: the axon tunnel can make TPU backend init raise OR hang.
+    on_tpu = require_backend()
+    if not on_tpu:
+        print("bench: TPU backend unusable (probe failed); CPU fallback", file=sys.stderr)
 
     import dataclasses
 
@@ -111,6 +116,10 @@ def main():
             "reference on one A100; the reference publishes no numbers and "
             "was never run — see module docstring + BASELINE.md), not a "
             "measurement"
+        ) if on_tpu else (
+            "CPU SMOKE FALLBACK (TPU tunnel unusable at bench time): tiny "
+            "model on host CPU — value NOT comparable to the recorded TPU "
+            "numbers (see STATUS.md / docs/PERFORMANCE.md for those)"
         ),
         "detail": {
             "steps_per_sec_per_chip": round(steps_per_sec, 4),

@@ -30,7 +30,9 @@ RES = 512
 
 def main():
     enable_compilation_cache()
-    on_tpu = jax.default_backend() == "tpu"
+    from mvd_tpu.utils.backend import require_backend
+
+    on_tpu = require_backend()  # bounded probe: tunnel-down init can hang
     if on_tpu:
         cfg = ModelConfig(unet=UNetConfig(remat=False, attention_impl="auto"), dtype="bfloat16")
         res = RES

@@ -122,6 +122,34 @@ def normalize_ref_feature(feat: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return (feat - mean) / std * 0.5
 
 
+class _DenseParams(nn.Module):
+    """Declares the same ``{kernel}`` param (same name, shape, init) as a
+    bias-free ``nn.Dense`` — without computing.  Lets the caller concatenate
+    several projections that share an input into ONE matmul (exact math:
+    each output column block only sees its own kernel columns), while the
+    param tree stays checkpoint-identical to the unfused Dense modules."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+
+
+def _use_fused_qkv() -> bool:
+    """Fuse projections sharing an input into one matmul.
+
+    Exact-math rewrite (concatenated kernels); gated off by default until
+    A/B'd on the TPU (MVD_FUSED_QKV=1 enables)."""
+    import os
+
+    return os.environ.get("MVD_FUSED_QKV", "0") == "1"
+
+
 class CrossViewAdapter(nn.Module):
     """Image cross-attention adapter (reference attention.py:12-197).
 
@@ -153,6 +181,13 @@ class CrossViewAdapter(nn.Module):
             k, v = ref  # (B, Sk, inner), precomputed by the pipeline
             k = k.astype(hidden.dtype)
             v = v.astype(hidden.dtype)
+        elif _use_fused_qkv():
+            # K/V share the ref input: one matmul over concatenated kernels
+            wk = _DenseParams(inner, name="to_k_ref")(ref.shape[-1])
+            wv = _DenseParams(inner, name="to_v_ref")(ref.shape[-1])
+            w = jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
+            kv = jnp.dot(ref.astype(self.dtype), w)
+            k, v = jnp.split(kv, 2, axis=-1)
         else:
             k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ref")(
                 ref.astype(hidden.dtype)
@@ -189,9 +224,25 @@ class Attention(nn.Module):
         ctx = hidden if is_self else context.astype(hidden.dtype)
         Sk = ctx.shape[1]
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if _use_fused_qkv():
+            wq = _DenseParams(inner, name="to_q")(D)
+            wk = _DenseParams(inner, name="to_k")(ctx.shape[-1])
+            wv = _DenseParams(inner, name="to_v")(ctx.shape[-1])
+            if is_self:
+                # q/k/v share the input: ONE (D -> 3*inner) matmul
+                w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+                q, k, v = jnp.split(
+                    jnp.dot(hidden.astype(self.dtype), w), 3, axis=-1
+                )
+            else:
+                # k/v share the context: one (D_ctx -> 2*inner) matmul
+                q = jnp.dot(hidden.astype(self.dtype), wq.astype(self.dtype))
+                w = jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
+                k, v = jnp.split(jnp.dot(ctx.astype(self.dtype), w), 2, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
         joint = is_self and self.num_views > 1
         if joint:
