@@ -143,8 +143,12 @@ class _DenseParams(nn.Module):
 def _use_fused_qkv() -> bool:
     """Fuse projections sharing an input into one matmul.
 
-    Exact-math rewrite (concatenated kernels); gated off by default until
-    A/B'd on the TPU (MVD_FUSED_QKV=1 enables)."""
+    Exact-math rewrite (concatenated kernels).  A/B'd on the chip
+    (end-to-end bench, 4-view 512²): wall-neutral — 3.967 vs 3.976 img/sec,
+    within day-to-day variance.  The projection matmuls are already
+    MXU-bound and XLA schedules the three reads of the shared input out of
+    HBM once, so fusing buys nothing.  Kept off by default
+    (MVD_FUSED_QKV=1 enables) as a documented closed-out experiment."""
     import os
 
     return os.environ.get("MVD_FUSED_QKV", "0") == "1"

@@ -93,12 +93,14 @@ def make_optimizer(
             weight_decay=cfg.weight_decay,
         ),
     )
-    tx = optax.multi_transform(
+    if grad_accum_steps > 1:
+        # inside the trainable branch so the accumulators cover only the
+        # params that actually train (~119M), not the full tree with its
+        # ~866M frozen leaves whose grads are structurally zero
+        adamw = optax.MultiSteps(adamw, every_k_schedule=grad_accum_steps)
+    return optax.multi_transform(
         {"trainable": adamw, "frozen": optax.set_to_zero()}, mask
     )
-    if grad_accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
-    return tx
 
 
 class TrainState(struct.PyTreeNode):

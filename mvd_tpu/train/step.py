@@ -28,14 +28,14 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-from flax.traverse_util import flatten_dict
+from flax.traverse_util import flatten_dict, unflatten_dict
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import TrainConfig
 from ..diffusion import NoiseSchedule, add_noise
 from .losses import noise_loss
-from .state import TrainState
+from .state import TrainState, trainable_mask
 
 GRAD_GROUPS = {
     "camera_encoder": lambda parts: "camera_encoder" in parts
@@ -76,7 +76,10 @@ def grad_group_samples(grads, k: int = 512) -> Dict[str, jnp.ndarray]:
 def grad_group_norms(grads) -> Dict[str, jnp.ndarray]:
     """Per-group gradient norms + max-abs (the reference's parameter-group
     gradient telemetry, training.py:557-701; raw-value histograms come from
-    ``grad_group_samples``)."""
+    ``grad_group_samples``).  ``grads`` is the TRAINABLE partition only, so
+    ``grad_norm/total`` covers exactly the params the optimizer moves —
+    the same population Lightning's grad-norm hook sees (requires_grad
+    params, reference training.py:529-555)."""
     flat = flatten_dict(grads)
     out = {}
     for name, pred in GRAD_GROUPS.items():
@@ -109,6 +112,26 @@ def film_stats(film) -> Dict[str, jnp.ndarray]:
 
 def _flat(x):
     return x.reshape((-1,) + x.shape[2:])
+
+
+def split_params(params, mask):
+    """Partition ``params`` into (trainable, frozen) sub-trees by the
+    ``trainable_mask`` labels.  The train step differentiates ONLY the
+    trainable partition — the functional equivalent of the reference's
+    ``requires_grad=False`` freeze policy (training.py:53-93).  Taking
+    grads w.r.t. the full tree instead would force XLA to emit
+    weight-gradient computations for every frozen conv/matmul AND a full
+    backward pass through the frozen feature-extractor UNet (whose only
+    gradient consumers would be those dead frozen-weight grads)."""
+    fp, fm = flatten_dict(params), flatten_dict(mask)
+    t = {k: v for k, v in fp.items() if fm[k] == "trainable"}
+    f = {k: v for k, v in fp.items() if fm[k] != "trainable"}
+    return unflatten_dict(t), unflatten_dict(f)
+
+
+def merge_params(a, b):
+    """Inverse of :func:`split_params` (disjoint key sets)."""
+    return unflatten_dict({**flatten_dict(a), **flatten_dict(b)})
 
 
 def make_loss_fn(
@@ -360,12 +383,21 @@ def make_train_step(
             return mapped(params, frozen, batch, rng)
 
         def step(state: TrainState, frozen, batch, rng):
-            (loss, metrics), grads = jax.value_and_grad(global_loss, has_aux=True)(
-                state.params, frozen, batch, rng
+            mask = trainable_mask(state.params, cfg.train_denoising_unet)
+            t_params, f_params = split_params(state.params, mask)
+
+            def loss_t(tp, frozen, batch, rng):
+                return global_loss(merge_params(tp, f_params), frozen, batch, rng)
+
+            (loss, metrics), grads_t = jax.value_and_grad(loss_t, has_aux=True)(
+                t_params, frozen, batch, rng
             )
             metrics = dict(metrics)
-            metrics.update(grad_group_norms(grads))
-            metrics.update(grad_group_samples(grads))
+            metrics.update(grad_group_norms(grads_t))
+            metrics.update(grad_group_samples(grads_t))
+            grads = merge_params(
+                grads_t, jax.tree_util.tree_map(jnp.zeros_like, f_params)
+            )
             state = state.apply_gradients(grads)
             return state, metrics
 
@@ -374,12 +406,21 @@ def make_train_step(
     # --- default: DP over (data, view) on flat rows via shardings ---
     def step(state: TrainState, frozen, batch, rng):
         flat_batch = {k: _flat(v) for k, v in batch.items()}
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen, flat_batch, rng
+        mask = trainable_mask(state.params, cfg.train_denoising_unet)
+        t_params, f_params = split_params(state.params, mask)
+
+        def loss_t(tp, frozen, batch, rng):
+            return loss_fn(merge_params(tp, f_params), frozen, batch, rng)
+
+        (loss, metrics), grads_t = jax.value_and_grad(loss_t, has_aux=True)(
+            t_params, frozen, flat_batch, rng
         )
         metrics = dict(metrics)
-        metrics.update(grad_group_norms(grads))
-        metrics.update(grad_group_samples(grads))
+        metrics.update(grad_group_norms(grads_t))
+        metrics.update(grad_group_samples(grads_t))
+        grads = merge_params(
+            grads_t, jax.tree_util.tree_map(jnp.zeros_like, f_params)
+        )
         state = state.apply_gradients(grads)
         return state, metrics
 
