@@ -257,3 +257,35 @@ def test_eda_report(tmp_path):
     assert all(t["Top_Words"] for t in topics)
     freqs = word_frequencies([r["prompt"] for r in rows])
     assert freqs and all(w not in ("the", "and") for w, _ in freqs)
+
+
+def test_blender_camera_tables():
+    """camera_positions_for reproduces the reference's fixed rings
+    (blender_script.py:1041-1058, 906-941): alternating +20/-10 elevation,
+    counter-clockwise azimuths, radius 1.8; random-sphere fallback for
+    other counts respects the radius and hemisphere flag."""
+    import math
+    import random
+
+    from tools.rendering.blender_script import CAMERA_RADIUS, camera_positions_for
+
+    for n in (6, 8, 12):
+        pos = camera_positions_for(n)
+        assert len(pos) == n
+        for i, (x, y, z) in enumerate(pos):
+            r = math.sqrt(x * x + y * y + z * z)
+            assert abs(r - CAMERA_RADIUS) < 1e-6
+            want_el = 20.0 if i % 2 == 0 else -10.0
+            el = math.degrees(math.asin(z / r))
+            assert abs(el - want_el) < 1e-6
+    # 8 views: first azimuth 0 -> +x axis; second azimuth -45° (negated)
+    pos8 = camera_positions_for(8)
+    assert abs(pos8[0][1]) < 1e-9 and pos8[0][0] > 0
+    assert pos8[1][1] < 0  # clockwise-negated sweep goes to -y first
+
+    rng = random.Random(0)
+    pos5 = camera_positions_for(5, rng=rng, only_northern_hemisphere=True)
+    assert len(pos5) == 5
+    for x, y, z in pos5:
+        assert z >= 0
+        assert abs(math.sqrt(x * x + y * y + z * z) - CAMERA_RADIUS) < 1e-6

@@ -6,12 +6,29 @@ the same on-disk contract the runtime dataset reads
 4x4 camera-to-world matrices + ``num_renders.txt`` + ``metadata.json`` +
 ``render_complete.txt`` marker + ``blender_debug.log``.
 
-Behavior kept: multi-format mesh import (reference :16-28), GSO -90° X
-fix-up (:351-388), invisible-object cleanup (:491-509), scene normalization
-to the unit cube (:512-614), 4-sun light rig (:213-290), transparent
-background (:1078-1094), EEVEE/CYCLES settings (:1097-1127), randomly 6/8/12
-views on fixed-elevation azimuth rings at radius 1.8 with a 35mm lens
-(:906-949, 1041-1058, 1206-1212).
+Behavior kept:
+  * multi-format mesh import (reference :16-28) + the ``.blend`` special
+    case (open + reset cameras instead of a fresh scene, :968-973)
+  * GSO -90° X fix-up (:351-388)
+  * invisible-object cleanup (:491-509)
+  * missing-texture repair: drop dangling TEX_IMAGE nodes, substitute a
+    random base color per missing file, skipped for ``.usdz`` whose
+    textures are embedded (:617-664, 999-1004)
+  * texture-visibility enforcement: link TEX_IMAGE -> Principled base
+    color when unconnected (:846-903, 1007-1008)
+  * single random color for ``.stl``/``.ply``/texture-less objects
+    (:700-712, 1011-1018), recorded in metadata
+  * metadata extracted BEFORE normalization (:992-996), with
+    missing_textures / has_visible_textures / random_color fields
+  * scene normalization to the unit cube (:512-614)
+  * 4-sun light rig (:213-290), transparent background (:1078-1094),
+    EEVEE/CYCLES settings (:1097-1127)
+  * FIXED per-count camera rings: alternating +20°/-10° elevations on
+    evenly spaced azimuths (negated = counter-clockwise), radius 1.8,
+    35 mm lens — the reference's actual path for 6/8/12 views
+    (:1041-1058, 906-941); random spherical fallback for other counts
+    (:942-949) honoring ``--only-northern-hemisphere``
+  * ``scene.blend`` debug save (:1035)
 
 Out of scope for the TPU build (stays a CPU/GPU offline tool) — this script
 never touches JAX.
@@ -46,11 +63,60 @@ IMPORT_FUNCTIONS = {
     ".usd": lambda p: bpy.ops.wm.usd_import(filepath=p),
     ".usdz": lambda p: bpy.ops.wm.usd_import(filepath=p),
     ".x3d": lambda p: bpy.ops.import_scene.x3d(filepath=p),
+    ".blend": None,  # opened, not imported (render_object)
 }
 
 VIEW_COUNT_CHOICES = (6, 8, 12)
 CAMERA_RADIUS = 1.8
 LENS_MM = 35.0
+
+# Reference blender_script.py:1041-1051 — fixed per-count rings with
+# alternating high/low elevations.
+CAMERA_ANGLE_TABLES = {
+    12: ([0, 30, 60, 90, 120, 150, 180, 210, 240, 270, 300, 330],
+         [20, -10] * 6),
+    8: ([0, 45, 90, 135, 180, 225, 270, 315], [20, -10] * 4),
+    6: ([30, 90, 150, 210, 270, 330], [20, -10] * 3),
+}
+
+
+def camera_positions_for(
+    num_renders: int,
+    radius: float = CAMERA_RADIUS,
+    rng: "random.Random | None" = None,
+    only_northern_hemisphere: bool = False,
+):
+    """Camera positions for ``num_renders`` views (pure, bpy-free).
+
+    For 6/8/12 views: the reference's fixed tables — azimuth NEGATED
+    (counter-clockwise sweep, reference :928) at alternating +20°/-10°
+    elevation, radius 1.8.  Other counts fall back to uniform random
+    directions on the sphere (northern hemisphere only when asked),
+    scaled to the same radius (reference :942-949)."""
+    table = CAMERA_ANGLE_TABLES.get(num_renders)
+    positions = []
+    if table is not None:
+        azimuths, elevations = table
+        for az_deg, el_deg in zip(azimuths, elevations):
+            az = -math.radians(az_deg)
+            el = math.radians(el_deg)
+            positions.append((
+                radius * math.cos(el) * math.cos(az),
+                radius * math.cos(el) * math.sin(az),
+                radius * math.sin(el),
+            ))
+        return positions
+    rng = rng or random.Random()
+    while len(positions) < num_renders:
+        v = np.array([rng.gauss(0, 1) for _ in range(3)])
+        n = float(np.linalg.norm(v))
+        if n < 1e-8:
+            continue
+        v = v / n
+        if only_northern_hemisphere:
+            v[2] = abs(v[2])
+        positions.append(tuple(float(x) * radius for x in v))
+    return positions
 
 
 def log(output_dir, msg):
@@ -67,9 +133,17 @@ def reset_scene():
                 block.remove(item)
 
 
+def reset_cameras():
+    """Delete every camera and add one fresh (reference :46-60) — used for
+    ``.blend`` scenes that are opened rather than imported."""
+    for obj in list(bpy.context.scene.objects):
+        if obj.type == "CAMERA":
+            bpy.data.objects.remove(obj, do_unlink=True)
+
+
 def import_object(path: str, is_gso: bool = False):
     ext = os.path.splitext(path)[1].lower()
-    if ext not in IMPORT_FUNCTIONS:
+    if ext not in IMPORT_FUNCTIONS or IMPORT_FUNCTIONS[ext] is None:
         raise ValueError(f"unsupported format: {ext}")
     IMPORT_FUNCTIONS[ext](path)
     if is_gso:
@@ -88,7 +162,82 @@ def delete_invisible_objects():
         if obj.hide_render or obj.hide_viewport:
             bpy.data.objects.remove(obj, do_unlink=True)
             removed += 1
+    # invisible collections too (reference :506-509)
+    for col in [c for c in bpy.data.collections if c.hide_viewport]:
+        bpy.data.collections.remove(col)
     return removed
+
+
+def delete_missing_textures(rng=None):
+    """Drop TEX_IMAGE nodes whose file is missing, substituting one random
+    base color per missing file path on the connected Principled BSDF
+    (reference :617-664).  Embedded images (empty filepath) are kept."""
+    rng = rng or random
+    count = 0
+    files = []
+    file_path_to_color = {}
+    for material in bpy.data.materials:
+        if not material.use_nodes:
+            continue
+        for node in list(material.node_tree.nodes):
+            if node.type != "TEX_IMAGE" or node.image is None:
+                continue
+            file_path = bpy.path.abspath(node.image.filepath)
+            if file_path == "" or os.path.exists(file_path):
+                continue
+            links = node.outputs[0].links
+            if links:
+                connected = links[0].to_node
+                if connected.type == "BSDF_PRINCIPLED":
+                    if file_path not in file_path_to_color:
+                        file_path_to_color[file_path] = [
+                            rng.random() for _ in range(3)
+                        ] + [1.0]
+                    connected.inputs["Base Color"].default_value = (
+                        file_path_to_color[file_path]
+                    )
+            material.node_tree.nodes.remove(node)
+            count += 1
+            files.append(file_path)
+    return {"count": count, "files": files, "file_path_to_color": file_path_to_color}
+
+
+def ensure_texture_visibility():
+    """Link each material's TEX_IMAGE to the Principled base color when
+    unconnected; True iff any texture exists (reference :846-903)."""
+    texture_count = 0
+    for material in bpy.data.materials:
+        if not material.use_nodes:
+            continue
+        principled = next(
+            (n for n in material.node_tree.nodes if n.type == "BSDF_PRINCIPLED"), None
+        )
+        for node in material.node_tree.nodes:
+            if node.type == "TEX_IMAGE" and node.image:
+                texture_count += 1
+                if principled is not None and not any(
+                    link.to_socket == principled.inputs["Base Color"]
+                    for link in material.node_tree.links
+                ):
+                    material.node_tree.links.new(
+                        node.outputs["Color"], principled.inputs["Base Color"]
+                    )
+    return texture_count > 0
+
+
+def apply_single_random_color_to_all_objects(rng=None):
+    """One random RGB(A=1) color on every mesh via a fresh Principled
+    material (reference :667-712)."""
+    rng = rng or random
+    color = (rng.random(), rng.random(), rng.random(), 1.0)
+    for obj in scene_mesh_objects():
+        mat = bpy.data.materials.new(name=f"RandomMaterial_{obj.name}")
+        mat.use_nodes = True
+        principled = mat.node_tree.nodes.get("Principled BSDF")
+        if principled:
+            principled.inputs["Base Color"].default_value = color
+        obj.data.materials.append(mat)
+    return color
 
 
 def scene_bbox():
@@ -116,6 +265,10 @@ def normalize_scene():
         if obj.parent is None:
             obj.matrix_world.translation += offset
     bpy.context.view_layer.update()
+    # cameras must not inherit object transforms (reference :611-614)
+    for obj in bpy.context.scene.objects:
+        if obj.type == "CAMERA" and obj.parent is not None:
+            obj.parent = None
 
 
 def setup_lights():
@@ -150,20 +303,17 @@ def setup_render(engine: str, resolution: int):
 def make_camera():
     cam_data = bpy.data.cameras.new("cam")
     cam_data.lens = LENS_MM
+    cam_data.sensor_width = 32.0  # reference :979
     cam = bpy.data.objects.new("cam", cam_data)
     bpy.context.collection.objects.link(cam)
     bpy.context.scene.camera = cam
     return cam
 
 
-def place_camera(cam, azimuth_deg: float, elevation_deg: float, radius: float):
-    az = math.radians(azimuth_deg)
-    el = math.radians(elevation_deg)
-    cam.location = (
-        radius * math.cos(el) * math.cos(az),
-        radius * math.cos(el) * math.sin(az),
-        radius * math.sin(el),
-    )
+def place_camera(cam, position):
+    """Set position and aim at the origin (the explicit look-at equivalent
+    of the reference's TRACK_TO-an-origin-empty constraint, :981-987)."""
+    cam.location = position
     direction = -Vector(cam.location)
     cam.rotation_euler = direction.to_track_quat("-Z", "Y").to_euler()
     bpy.context.view_layer.update()
@@ -218,43 +368,81 @@ def extract_metadata(object_path):
     }
 
 
-def render_object(object_path, output_dir, engine, resolution, seed, is_gso=False):
+def render_object(
+    object_path,
+    output_dir,
+    engine,
+    resolution,
+    seed,
+    is_gso=False,
+    only_northern_hemisphere=False,
+    save_blend=True,
+):
     os.makedirs(output_dir, exist_ok=True)
     log(output_dir, f"rendering {object_path}")
     rng = random.Random(seed)
+    ext = os.path.splitext(object_path)[1].lower()
 
-    reset_scene()
-    import_object(object_path, is_gso=is_gso)
-    n_removed = delete_invisible_objects()
+    if ext == ".blend":
+        # open the scene in place: keep its objects, drop its cameras and
+        # anything invisible (reference :968-973)
+        bpy.ops.wm.open_mainfile(filepath=object_path)
+        reset_cameras()
+        n_removed = delete_invisible_objects()
+    else:
+        reset_scene()
+        import_object(object_path, is_gso=is_gso)
+        n_removed = delete_invisible_objects()
     log(output_dir, f"removed {n_removed} invisible objects")
+
+    # metadata BEFORE normalization, as the reference orders it (:992-996)
+    metadata = extract_metadata(object_path)
+
+    # texture repair (reference :999-1018): usdz textures are embedded —
+    # don't treat them as missing
+    if ext == ".usdz":
+        metadata["missing_textures"] = None
+    else:
+        missing = delete_missing_textures(rng)
+        metadata["missing_textures"] = missing
+        log(output_dir, f"repaired {missing['count']} missing textures")
+    has_visible_textures = ensure_texture_visibility()
+    metadata["has_visible_textures"] = has_visible_textures
+    if ext in (".stl", ".ply") or not has_visible_textures:
+        metadata["random_color"] = list(apply_single_random_color_to_all_objects(rng))
+        log(output_dir, f"applied random color {metadata['random_color']}")
+    else:
+        metadata["random_color"] = None
+
+    with open(os.path.join(output_dir, "metadata.json"), "w", encoding="utf-8") as f:
+        json.dump(metadata, f, indent=2)
+
     normalize_scene()
     setup_lights()
     setup_render(engine, resolution)
     cam = make_camera()
+    if save_blend:  # debugging artifact (reference :1035)
+        bpy.ops.wm.save_as_mainfile(filepath=os.path.join(output_dir, "scene.blend"))
 
     num_views = rng.choice(VIEW_COUNT_CHOICES)
-    elevation = rng.uniform(15.0, 35.0)
-    start_az = rng.uniform(0.0, 360.0)
-
-    for i in range(num_views):
-        az = start_az + 360.0 * i / num_views
-        place_camera(cam, az, elevation, CAMERA_RADIUS)
+    positions = camera_positions_for(
+        num_views, rng=rng, only_northern_hemisphere=only_northern_hemisphere
+    )
+    for i, pos in enumerate(positions):
+        place_camera(cam, pos)
         bpy.context.scene.render.filepath = os.path.join(output_dir, f"{i:03d}.png")
         bpy.ops.render.render(write_still=True)
         cam_matrix = np.array(cam.matrix_world, dtype=np.float32)  # 4x4 c2w
         np.save(os.path.join(output_dir, f"{i:03d}.npy"), cam_matrix)
-        log(output_dir, f"view {i}: az={az:.1f} el={elevation:.1f}")
+        log(output_dir, f"view {i}: pos={tuple(round(p, 3) for p in pos)}")
 
     with open(os.path.join(output_dir, "num_renders.txt"), "w") as f:
         f.write(str(num_views))
-    with open(os.path.join(output_dir, "metadata.json"), "w") as f:
-        json.dump(extract_metadata(object_path), f, indent=2)
     with open(os.path.join(output_dir, "render_complete.txt"), "w") as f:
         f.write(
             json.dumps(
                 {
                     "num_views": num_views,
-                    "elevation": elevation,
                     "radius": CAMERA_RADIUS,
                     "engine": bpy.context.scene.render.engine,
                     "resolution": resolution,
@@ -274,12 +462,16 @@ def main():
     p.add_argument("--resolution", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gso", action="store_true")
+    p.add_argument("--only-northern-hemisphere", action="store_true")
+    p.add_argument("--no-save-blend", action="store_true")
     args = p.parse_args(argv)
     if bpy is None:
         raise RuntimeError("must run inside Blender: blender --background --python ...")
     render_object(
         args.object_path, args.output_dir, args.engine, args.resolution, args.seed,
         is_gso=args.gso,
+        only_northern_hemisphere=args.only_northern_hemisphere,
+        save_blend=not args.no_save_blend,
     )
 
 
