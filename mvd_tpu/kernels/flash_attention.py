@@ -26,6 +26,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -274,6 +275,14 @@ def _flash_attention_packed(q, k, v, heads, scale, block_q, block_k, kv_valid, i
 
 def _flash_attention_packed_fwd(q, k, v, heads, scale, block_q, block_k, kv_valid, interpret):
     out, lse = _flash_fwd_packed(q, k, v, heads, scale, block_q, block_k, kv_valid, interpret)
+    # Named so a remat policy (save_only_these_names, nn/unet.py) can SAVE
+    # the kernel's residuals: without this, rematerialized transformer
+    # blocks re-run every flash forward kernel during backward just to
+    # regenerate (out, lse) — measured at ~52 ms/step of flash kernel time
+    # in the full-scale train step, of which the recompute share is pure
+    # waste. q/k/v recompute via their (cheap) projections.
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
@@ -456,6 +465,10 @@ def _flash_attention(q, k, v, scale, block_q, block_k, kv_valid, interpret):
 
 def _flash_attention_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret):
     out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, kv_valid, interpret)
+    # see _flash_attention_packed_fwd: lets a remat policy save the
+    # residuals so backward skips the forward-kernel re-run
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 

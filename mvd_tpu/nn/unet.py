@@ -46,6 +46,24 @@ Features = Dict[str, jnp.ndarray]
 Film = Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
 
 
+def _remat_policy():
+    """Checkpoint policy for rematerialized UNet blocks.
+
+    ``flash`` (default): save each flash-attention kernel's (out, lse) —
+    tagged via ``checkpoint_name`` in the kernels' custom-VJP fwd rules —
+    so backward recomputes the cheap projections but never re-runs the
+    forward attention kernels. ``none``: blanket recompute (the historical
+    behavior)."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("MVD_REMAT_POLICY", "flash")
+    if mode == "none":
+        return None
+    return jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+
+
 def apply_film(x: jnp.ndarray, film: Optional[Film], name: str) -> jnp.ndarray:
     """x * scale + shift with (B, C) params broadcast over NHWC."""
     if film is None or name not in film:
@@ -102,8 +120,19 @@ class UNet2DCondition(nn.Module):
 
         ctx = encoder_hidden_states.astype(self.dtype)
 
-        ResBlock = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
-        AttnBlock = nn.remat(Transformer2D, static_argnums=()) if cfg.remat else Transformer2D
+        if cfg.remat:
+            # Save the flash-attention residuals (named in
+            # kernels/flash_attention.py fwd rules) across the remat
+            # boundary: plain remat re-runs every flash forward kernel
+            # during backward just to regenerate (out, lse) — ~25% of the
+            # full-scale train step's flash time for zero information.
+            # Everything unnamed still rematerializes. MVD_REMAT_POLICY=none
+            # restores blanket recompute.
+            policy = _remat_policy()
+            ResBlock = nn.remat(ResnetBlock, policy=policy)
+            AttnBlock = nn.remat(Transformer2D, static_argnums=(), policy=policy)
+        else:
+            ResBlock, AttnBlock = ResnetBlock, Transformer2D
 
         def make_attn(i_block: int, name: str):
             return AttnBlock(

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mvd_tpu.kernels.flash_attention import flash_attention, xla_attention
+from mvd_tpu.kernels.flash_attention import attention_packed, flash_attention, xla_attention
 
 
 def make_qkv(key, B=1, H=2, Sq=256, Sk=256, D=64, dtype=jnp.float32):
@@ -155,3 +155,28 @@ class TestPackedLayout:
         got = attention_packed(q, k, v, 2, impl="auto")  # short seq -> XLA
         want = self._ref(q, k, v, 2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_remat_policy_saves_flash_residuals():
+    """Gradients through a remat'd block are identical whether the policy
+    saves the flash residuals or recomputes everything — and with the
+    save_only_these_names policy the named (out, lse) values are stored, so
+    the backward pass does not re-run the forward kernel (numerics-equal by
+    construction; this pins the checkpoint_name plumbing)."""
+    import jax
+    from jax.ad_checkpoint import checkpoint
+
+    rng = np.random.default_rng(11)
+    B, S, H, D = 1, 256, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, S, H * D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H * D)), jnp.float32)
+
+    def block(q, k, v):
+        out = attention_packed(q, k, v, H, impl="pallas_interpret")
+        return jnp.sum(out**2)
+
+    policy = jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+    g_plain = jax.grad(checkpoint(block))(q, k, v)
+    g_saved = jax.grad(checkpoint(block, policy=policy))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_saved), rtol=1e-6)
