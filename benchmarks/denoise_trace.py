@@ -21,7 +21,8 @@ def main():
     from mvd_tpu.config import ModelConfig, UNetConfig
     from mvd_tpu.pipeline import MVDPipeline
 
-    NUM_VIEWS, RES = 4, 512
+    NUM_VIEWS = int(os.environ.get("MVD_TRACE_VIEWS", "4"))
+    RES = int(os.environ.get("MVD_TRACE_RES", "512"))
     hw = RES // 8
     cfg = ModelConfig(
         unet=UNetConfig(remat=False, attention_impl="auto"), dtype="bfloat16"
@@ -98,12 +99,28 @@ def main():
 
     # top individual ops
     ops = defaultdict(float)
+    op_args = {}
     for e in events:
         if e.get("ph") == "X" and "dur" in e and (not dev_pids or e.get("pid") in dev_pids):
-            ops[e.get("name", "")] += e["dur"]
+            name = e.get("name", "")
+            ops[name] += e["dur"]
+            if name not in op_args and e.get("args"):
+                op_args[name] = e["args"]
     print("\ntop 25 ops:")
     for k, v in sorted(ops.items(), key=lambda kv: -kv[1])[:25]:
         print(f"{k[:70]:70s} {v / 3e3:8.3f} ms/step")
+
+    print("\ntop 15 copy/convert events (with args):")
+    shown = 0
+    for k, v in sorted(ops.items(), key=lambda kv: -kv[1]):
+        if not any(s in k for s in ("copy", "convert", "transpose", "bitcast")):
+            continue
+        a = op_args.get(k, {})
+        detail = a.get("long_name") or a.get("tf_op") or a.get("shape") or str(a)[:160]
+        print(f"{k[:40]:40s} {v / 3e3:7.3f} ms/step  {str(detail)[:120]}")
+        shown += 1
+        if shown >= 15:
+            break
 
 
 if __name__ == "__main__":

@@ -24,9 +24,10 @@ def main():
     from mvd_tpu.train import TrainState, make_optimizer, make_train_step
 
     on_tpu = jax.default_backend() == "tpu"
+    remat = os.environ.get("MVD_BENCH_REMAT", "1") != "0"
     if on_tpu:
         model_cfg = ModelConfig(
-            unet=UNetConfig(remat=True, attention_impl="auto"), dtype="bfloat16"
+            unet=UNetConfig(remat=remat, attention_impl="auto"), dtype="bfloat16"
         )
         B, res = 2, 512
     else:
@@ -76,7 +77,8 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(
         f"train step: {dt * 1e3:.1f} ms/step  ({B / dt:.2f} samples/sec/chip)  "
-        f"batch {B} pairs @ {res}^2, remat, backend={jax.default_backend()}"
+        f"batch {B} pairs @ {res}^2, remat={'on' if remat else 'OFF'}, "
+        f"backend={jax.default_backend()}"
     )
 
 

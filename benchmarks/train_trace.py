@@ -97,12 +97,28 @@ def main():
         print(f"{k:32s} {v / NIT / 1e3:8.2f} ms/step  x{agg_n[k] // NIT}")
 
     ops = defaultdict(float)
+    op_args = {}
     for e in events:
         if e.get("ph") == "X" and "dur" in e and (not dev_pids or e.get("pid") in dev_pids):
-            ops[e.get("name", "")] += e["dur"]
+            name = e.get("name", "")
+            ops[name] += e["dur"]
+            if name not in op_args and e.get("args"):
+                op_args[name] = e["args"]
     print("\ntop 30 ops:")
     for k, v in sorted(ops.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{k[:70]:70s} {v / NIT / 1e3:8.3f} ms/step")
+
+    print("\ntop 15 copy/convert events (with args):")
+    shown = 0
+    for k, v in sorted(ops.items(), key=lambda kv: -kv[1]):
+        if not any(s in k for s in ("copy", "convert", "transpose", "bitcast")):
+            continue
+        a = op_args.get(k, {})
+        detail = a.get("long_name") or a.get("tf_op") or a.get("shape") or str(a)[:160]
+        print(f"{k[:40]:40s} {v / NIT / 1e3:7.3f} ms/step  {str(detail)[:120]}")
+        shown += 1
+        if shown >= 15:
+            break
 
 
 if __name__ == "__main__":

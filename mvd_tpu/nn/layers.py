@@ -21,6 +21,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..kernels.flash_attention import attention as attention_dispatch
 from ..kernels.flash_attention import attention_packed
@@ -459,14 +460,20 @@ class ResnetBlock(nn.Module):
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
         in_ch = x.shape[-1]
         h = GroupNorm(self.norm_num_groups, self.norm_eps, fuse_silu=True, name="norm1")(x)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        # named so a remat policy can optionally save conv outputs
+        # (MVD_REMAT_POLICY=flash_conv, nn/unet.py)
+        h = checkpoint_name(
+            Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h), "conv_out"
+        )
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :].astype(h.dtype)
         h = GroupNorm(self.norm_num_groups, self.norm_eps, fuse_silu=True, name="norm2")(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        h = checkpoint_name(
+            Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h), "conv_out"
+        )
         if in_ch != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"

@@ -58,10 +58,18 @@ def _remat_policy():
 
     import jax
 
-    mode = os.environ.get("MVD_REMAT_POLICY", "flash")
+    mode = os.environ.get("MVD_REMAT_POLICY", "flash_conv")
     if mode == "none":
         return None
-    return jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+    names = ["flash_out", "flash_lse"]
+    if mode in ("flash_conv", "flash_conv_dots"):  # + ResnetBlock conv outputs
+        names.append("conv_out")
+    policy = jax.checkpoint_policies.save_only_these_names(*names)
+    if mode == "flash_conv_dots":  # + every matmul output (FF/projections)
+        policy = jax.checkpoint_policies.save_from_both_policies(
+            policy, jax.checkpoint_policies.dots_saveable
+        )
+    return policy
 
 
 def apply_film(x: jnp.ndarray, film: Optional[Film], name: str) -> jnp.ndarray:

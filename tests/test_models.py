@@ -160,3 +160,31 @@ def test_multiview_unet_cfg_batch():
         source_camera=cams, target_camera=cams, source_image_latents=src_lat,
     )
     assert out.shape == sample.shape
+
+
+@pytest.mark.parametrize("mode", ["flash_conv", "flash_conv_dots"])
+def test_remat_policy_modes_grad_equal(mode, monkeypatch):
+    """All MVD_REMAT_POLICY modes give bit-identical UNet gradients — the
+    policy only changes what is SAVED across the remat boundary (conv
+    outputs / matmul outputs), never the math (nn/unet.py:_remat_policy)."""
+    import dataclasses
+
+    from mvd_tpu.nn.unet import UNet2DCondition as UNet
+
+    cfg = dataclasses.replace(TINY_UNET, remat=True)
+    model = UNet(cfg)
+    B, hw = 1, cfg.sample_size
+    sample = jax.random.normal(jax.random.PRNGKey(1), (B, hw, hw, 4))
+    t = jnp.array([7])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 77, cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), sample, t, ctx)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, sample, t, ctx)[0] ** 2)
+
+    monkeypatch.setenv("MVD_REMAT_POLICY", "none")
+    g_none = jax.grad(loss)(params)
+    monkeypatch.setenv("MVD_REMAT_POLICY", mode)
+    g_mode = jax.grad(loss)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_none), jax.tree_util.tree_leaves(g_mode)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
