@@ -17,6 +17,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train the multi-view diffusion model")
     p.add_argument("--config", type=str, default=None, help="YAML config path")
     p.add_argument("--dataset-path", type=str, default=None)
+    p.add_argument("--dataset-format", type=str, default=None,
+                   choices=("objaverse", "co3d"),
+                   help="corpus layout: rendered-zip shards (reference "
+                        "contract) or CO3D-style multi-view sequence shards")
     p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume")
     p.add_argument("--output-dir", type=str, default="outputs")
     p.add_argument("--wandb-id", type=str, default=None)
@@ -105,6 +109,7 @@ def main(argv=None):
         num_workers=data_cfg.num_workers,
         views_per_sample=max(1, args.num_views),
         seed=cfg.seed,
+        dataset_format=args.dataset_format or data_cfg.dataset_format,
     )
     dm.setup()
 

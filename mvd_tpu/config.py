@@ -189,6 +189,11 @@ class LossConfig:
     # scalar_mse * mean(w) (losses.py:170-192). ``faithful`` reproduces that;
     # ``per_sample`` applies the weights as the Min-SNR paper intends.
     weighting: str = "per_sample"
+    # Optional auxiliary feature-matching loss (BASELINE config 5): match the
+    # frozen UNet's per-block features of the predicted x0-hat against the
+    # target latents' features (train/losses.py:feature_matching_loss).
+    # 0.0 (default) keeps the reference objective exactly.
+    feature_matching_weight: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -227,6 +232,9 @@ class TrainConfig:
 @dataclass(frozen=True)
 class DataConfig:
     dataset_path: str = ""
+    # "objaverse" (rendered-zip shards, the reference contract) or "co3d"
+    # (CO3D-style real-image multi-view sequence shards, data/co3d.py)
+    dataset_format: str = "objaverse"
     image_size: int = 768
     max_views_per_object: int = 8
     dataset_samples: Optional[int] = None
@@ -279,6 +287,7 @@ def train_config_from_yaml(path: str) -> TrainConfig:
         use_snr_loss=bool(loss_raw.get("use_snr_loss", True)),
         snr_gamma=float(loss_raw.get("snr_gamma", 5.0)),
         weighting=loss_raw.get("weighting", "per_sample"),
+        feature_matching_weight=float(loss_raw.get("feature_matching_weight", 0.0)),
     )
     opt = OptimizerConfig(
         learning_rate=float(_get(raw, "learning_rate", "lr", default=1e-5)),
@@ -318,6 +327,7 @@ def data_config_from_yaml(path: str) -> DataConfig:
     samples = _get(raw, "dataset_samples", default=None)
     return DataConfig(
         dataset_path=str(_get(raw, "dataset_path", default="") or ""),
+        dataset_format=str(_get(raw, "dataset_format", default="objaverse")),
         image_size=int(_get(raw, "image_size", default=768)),
         max_views_per_object=int(_get(raw, "max_views_per_object", default=8)),
         dataset_samples=None if samples is None else int(samples),

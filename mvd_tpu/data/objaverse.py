@@ -457,11 +457,16 @@ class DataLoader:
 
 class ObjaverseDataModule:
     """train/val/test datasets + loaders + checkpointable state
-    (reference objaverse_dataset.py:340-478)."""
+    (reference objaverse_dataset.py:340-478).
+
+    ``dataset_format`` selects the corpus layout: "objaverse" (rendered-zip
+    shards, the reference's contract) or "co3d" (CO3D-style real-image
+    multi-view sequence shards, mvd_tpu/data/co3d.py — BASELINE config 5)."""
 
     def __init__(self, data_root: str, tokenizer, image_size=768,
                  batch_size=6, max_views_per_object=8, dataset_samples=None,
-                 views_per_sample=1, num_workers=4, seed=42):
+                 views_per_sample=1, num_workers=4, seed=42,
+                 dataset_format: str = "objaverse"):
         self.kwargs = dict(
             data_root=data_root,
             image_size=image_size,
@@ -474,11 +479,22 @@ class ObjaverseDataModule:
         self.batch_size = batch_size
         self.views_per_sample = views_per_sample
         self.num_workers = num_workers
+        self.dataset_format = dataset_format
         self.datasets: Dict[str, ObjaverseDataset] = {}
 
+    def _dataset_cls(self):
+        if self.dataset_format == "co3d":
+            from .co3d import CO3DDataset
+
+            return CO3DDataset
+        if self.dataset_format != "objaverse":
+            raise ValueError(f"unknown dataset_format: {self.dataset_format!r}")
+        return ObjaverseDataset
+
     def setup(self):
+        cls = self._dataset_cls()
         for split in ("train", "val", "test"):
-            self.datasets[split] = ObjaverseDataset(split=split, **self.kwargs)
+            self.datasets[split] = cls(split=split, **self.kwargs)
 
     def loader(self, split: str, shuffle: Optional[bool] = None) -> DataLoader:
         if split not in self.datasets:

@@ -71,6 +71,28 @@ def noise_loss(
     }
 
 
+def feature_matching_loss(
+    feats_pred: Dict[str, jnp.ndarray],
+    feats_target: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """Frozen-UNet feature-matching auxiliary loss (BASELINE config 5).
+
+    Mean squared distance between the frozen feature extractor's per-block
+    activations for the predicted x0-hat and for the target latents,
+    averaged over blocks. Per-block errors are normalized by the target
+    feature's variance so deep wide blocks don't dominate shallow ones
+    (the standard feature-matching normalization). The target side must be
+    stop-gradiented by the caller; gradients flow through the prediction
+    side into the adapter/camera params via x0-hat."""
+    losses = []
+    for name in sorted(feats_target):
+        p = feats_pred[name].astype(jnp.float32)
+        t = feats_target[name].astype(jnp.float32)
+        scale = jnp.maximum(jnp.var(t), 1e-6)
+        losses.append(jnp.mean((p - t) ** 2) / scale)
+    return jnp.stack(losses).mean()
+
+
 def reconstruction_metrics(
     schedule: NoiseSchedule,
     noise_pred: jnp.ndarray,

@@ -210,6 +210,33 @@ def make_loss_fn(
             use_snr=cfg.loss.use_snr_loss,
             weighting=cfg.loss.weighting,
         )
+        if cfg.loss.feature_matching_weight > 0.0:
+            # Auxiliary feature-matching term (BASELINE config 5): run the
+            # frozen UNet feature extractor over the differentiable x0-hat
+            # and the (stop-gradient) target latents and match per-block
+            # activations (train/losses.py:feature_matching_loss). The same
+            # frozen tower that conditions the adapters doubles as the
+            # feature-matching network.
+            from ..diffusion import pred_original_sample
+            from .losses import feature_matching_loss
+
+            x0_hat = pred_original_sample(schedule, pred, noisy, t)
+            feats_pred = pipe.mvd_unet.apply(
+                params, x0_hat, text, method="extract_features"
+            )
+            feats_tgt = jax.lax.stop_gradient(
+                pipe.mvd_unet.apply(params, tgt_lat, text, method="extract_features")
+            )
+            fm = feature_matching_loss(feats_pred, feats_tgt)
+            # the logged "noise_loss" stays the pure noise objective
+            # (reference train/noise_loss parity); the optimizer sees the
+            # weighted total
+            ld = {
+                **ld,
+                "feature_matching_loss": fm,
+                "total_loss": ld["noise_loss"]
+                + cfg.loss.feature_matching_weight * fm,
+            }
         if with_recon_metrics:
             from .losses import reconstruction_metrics
 
@@ -221,7 +248,7 @@ def make_loss_fn(
                 image_metric_fns=image_metric_fns,
             )
             extra_metrics = {**extra_metrics, **rm}
-        return ld["noise_loss"], {**ld, **extra_metrics}
+        return ld.get("total_loss", ld["noise_loss"]), {**ld, **extra_metrics}
 
     return loss_fn
 
