@@ -29,7 +29,11 @@ def main():
         model_cfg = ModelConfig(
             unet=UNetConfig(remat=remat, attention_impl="auto"), dtype="bfloat16"
         )
-        B, res = 2, 512
+        # MVD_BENCH_RES=768 measures the reference's training resolution
+        # (train_config.yaml image_size: 768); MVD_BENCH_BATCH sizes per-chip
+        # batch (v5e-1 has 16 GB HBM vs the reference's 80 GB A100s).
+        B = int(os.environ.get("MVD_BENCH_BATCH", "2"))
+        res = int(os.environ.get("MVD_BENCH_RES", "512"))
     else:
         from mvd_tpu.config import TINY_MODEL
 

@@ -313,78 +313,87 @@ _flash_attention_packed.defvjp(_flash_attention_packed_fwd, _flash_attention_pac
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, kv_len
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, scale, nk
 ):
-    """dq for one (bh, q-block): dq = sum_k (P * (dO V^T - delta)) K * scale.
+    """dq for one (bh, q-block, k-block) grid step:
+    dq = sum_k (P * (dO V^T - delta)) K * scale.
 
-    Matmul operands stay in the input dtype (full-rate MXU); softmax math and
-    the dq accumulator are f32."""
+    The k dimension lives in the GRID (not a fori_loop) with the accumulator
+    in VMEM scratch — every block stays O(block), so VMEM stays bounded at
+    any sequence length (whole-length K/V residency OOM'd scoped vmem at
+    S=9216, the 768² level-0 shape). Matmul operands stay in the input dtype
+    (full-rate MXU); softmax math and the accumulator are f32."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]  # (bq, 1)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale, nq
+):
+    """dk/dv for one (bh, k-block, q-block) grid step: q streams through the
+    grid with f32 scratch accumulators (same bounded-VMEM argument as dq;
+    the old whole-length (1,Sq,1) lse/delta blocks alone padded to
+    Sq x 128 lanes ≈ 4.7 MB each at S=9216)."""
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0]
+    v = v_ref[0]
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0]  # (bq, 1)
     delta = delta_ref[0]  # (bq, 1)
-    nk = _cdiv(kv_len, block_k)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)  # (bq, bk) f32
+    pc = p.astype(do.dtype)
+    dv_acc[:] += jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    dq0 = jnp.zeros(q.shape, jnp.float32)
-    dq = jax.lax.fori_loop(0, nk, body, dq0)
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
-
-
-def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, q_len
-):
-    """dk/dv for one (bh, k-block): stream q-blocks.
-
-    Matmul operands stay in the input dtype (full-rate MXU); accumulators
-    f32."""
-    k = k_ref[0]
-    v = v_ref[0]
-    nq = _cdiv(q_len, block_q)
-
-    def body(i, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :]
-        do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jnp.exp(s - lse)  # (bq, bk) f32
-        pc = p.astype(do.dtype)
-        dv = dv + jax.lax.dot_general(
-            pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = (p * (dp - delta)).astype(q.dtype)
-        dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return dk, dv
-
-    dk0 = jnp.zeros(k.shape, jnp.float32)
-    dv0 = jnp.zeros(v.shape, jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
@@ -406,42 +415,55 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
 
     bq = min(block_q, Sq)
     bk = min(block_k, Sk)
+    nq = _cdiv(Sq, bq)
+    nk = _cdiv(Sk, bk)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk, kv_len=Sk),
-        grid=(bh, _cdiv(Sq, bq)),
+        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk),
+        grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, Sq, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qr, kr, vr, dor, lser, deltar)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=bq, q_len=Sq),
-        grid=(bh, _cdiv(Sk, bk)),
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq),
+        grid=(bh, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, Sq, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Sq, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Sq, 1), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Sq, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, Sk, D), k.dtype),
             jax.ShapeDtypeStruct((bh, Sk, D), v.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qr, kr, vr, dor, lser, deltar)
 

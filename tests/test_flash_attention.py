@@ -71,6 +71,28 @@ def test_gradients_masked_tails():
         )
 
 
+def test_gradients_multi_blocks_both_axes():
+    """nq=2, nk=3 with block 128: exercises the grid-streamed backward's
+    scratch accumulation across BOTH the dq k-dimension and the dk/dv
+    q-dimension (the whole-length-residency path OOM'd VMEM at S=9216)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(7), B=1, H=2, Sq=256, Sk=384)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
+        )
+
+
 def test_gradients_match_xla():
     q, k, v = make_qkv(jax.random.PRNGKey(2), B=1, H=1, Sq=128, Sk=128)
 
