@@ -26,7 +26,12 @@ def sync_time(fn, *args, iters=20):
 
 
 def bench_attention():
-    from mvd_tpu.kernels.flash_attention import flash_attention, xla_attention
+    from mvd_tpu.kernels.flash_attention import (
+        flash_attention,
+        flash_attention_packed,
+        flash_attention_packed_int8,
+        xla_attention,
+    )
 
     print("== attention (B,H,S,D) ==")
     shapes = [
@@ -43,7 +48,11 @@ def bench_attention():
         t_x = sync_time(jax.jit(xla_attention), q, kk, v)
         if Sk % 128 == 0 and Sq % 128 == 0:
             t_p = sync_time(jax.jit(lambda q, k, v: flash_attention(q, k, v, block_q=min(512, Sq), block_k=min(512, Sk))), q, kk, v)
-            print(f"  q{Sq}xk{Sk} h{H}: pallas {t_p:.3f} ms | xla {t_x:.3f} ms")
+            pack = lambda t, s: t.transpose(0, 2, 1, 3).reshape(B, s, H * D)
+            qp, kp, vp = pack(q, Sq), pack(kk, Sk), pack(v, Sk)
+            t_pk = sync_time(jax.jit(lambda q, k, v: flash_attention_packed(q, k, v, H)), qp, kp, vp)
+            t_i8 = sync_time(jax.jit(lambda q, k, v: flash_attention_packed_int8(q, k, v, H)), qp, kp, vp)
+            print(f"  q{Sq}xk{Sk} h{H}: pallas {t_p:.3f} | packed {t_pk:.3f} | int8 {t_i8:.3f} | xla {t_x:.3f} ms")
         else:
             print(f"  q{Sq}xk{Sk} h{H}: pallas n/a | xla {t_x:.3f} ms")
 

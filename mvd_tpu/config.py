@@ -46,7 +46,7 @@ class UNetConfig:
     norm_eps: float = 1e-5
     transformer_layers_per_block: int = 1
     # --- framework knobs ---
-    attention_impl: str = "auto"  # auto | xla | pallas
+    attention_impl: str = "auto"  # auto | xla | pallas | int8 (quantized; see kernels/flash_attention.py)
     remat: bool = True  # jax.checkpoint the heavy blocks
     with_adapters: bool = True  # image cross-attention adapters in every attn
     img_ref_scale: float = 0.3  # adapter output scale (attention.py:46)

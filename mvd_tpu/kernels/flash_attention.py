@@ -308,6 +308,248 @@ _flash_attention_packed.defvjp(_flash_attention_packed_fwd, _flash_attention_pac
 
 
 # ---------------------------------------------------------------------------
+# int8 forward (SageAttention-style quantized attention)
+# ---------------------------------------------------------------------------
+#
+# CLOSED-OUT EXPERIMENT — measured SLOWER than the bf16 kernel on v5e at
+# the UNet's D=64 heads; kept opt-in (impl="int8") as working quantized-
+# attention infrastructure and so the ablation is reproducible.
+#
+# Premise: the bf16 packed kernel is bound by the chip's D=64 matmul rate,
+# and the stripped matmul-only chain runs 1.32x faster in int8
+# (benchmarks/int8_probe.py: 49 -> 65 TF/s — not the advertised 2x, since
+# the MXU loads only 64 of its 128 contraction rows either way). That caps
+# the win at ~0.45 ms of the 2.0 ms hot-shape kernel. Measured reality
+# (v5e-1, B4/H5/S4096/D64): the int8 kernel runs 2.35 ms vs bf16's 1.96 —
+# the mandatory i32->f32 convert + per-row dequant multiply on every
+# (block_q, block_k) score slab adds more VPU time than the int8 MXU saves
+# — and the XLA-side quantization passes cost a further ~0.9 ms (less when
+# fused into the qkv-projection epilogues, but the kernel alone already
+# loses). Revisit only on a chip with a >=2x practical int8 advantage at
+# D=64, or for D>=128 head dims where the MXU runs the f16 path at full
+# depth and int8 halves a larger matmul share.
+#
+# Scheme (SageAttention-style, arXiv:2410.02367):
+#   * K is smoothed (per-head mean over the sequence subtracted) before
+#     quantization — the q.mean(K)^T term is constant along each score row,
+#     so softmax is invariant to it and no correction is needed;
+#   * Q per-token, K per-(batch, head), V per-channel symmetric scales,
+#     computed by XLA outside the kernel; the kernel loads int8 operands
+#     straight from HBM;
+#   * P = exp(s - rowmax) is quantized per row against its BLOCK-LOCAL max
+#     (always exactly 1.0), folded into the exp as +log(127); the
+#     exp(m_loc - m_new)/127 dequant factor rides the per-row alpha
+#     rescale the online softmax already does.
+#
+# Accuracy: ~30 dB per call vs the f32 reference at the UNet's hot shapes
+# on-chip (~34 dB in interpret mode at S=256; the P int8 term dominates —
+# see tests/test_flash_attention.py). Gradients flow via a straight-through
+# VJP that feeds the int8 forward's (out, lse) to the exact bf16 flash
+# backward, so impl="int8" survives jax.grad.
+
+
+_LOG127 = float(math.log(127.0))
+
+
+def _fwd_kernel_packed_int8(q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref,
+                            o_ref, lse_ref, acc, m_s, l_s,
+                            *, heads, head_dim, scale, nk):
+    ki = pl.program_id(2)
+    D = head_dim
+
+    @pl.when(ki == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, -jnp.inf)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    qf = q_ref[0]
+    kf = k_ref[0]
+    vf = v_ref[0]
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        s32 = jax.lax.dot_general(
+            qf[:, sl], kf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # per-token Q scales x per-block K scale, fused into one (bq,1)
+        # broadcast — same VPU cost as a scalar dequant
+        sqv = sq_ref[0][:, h : h + 1] * (sk_ref[0, 0, h] * scale)
+        s = s32.astype(jnp.float32) * sqv
+        m_loc = jnp.max(s, axis=-1, keepdims=True)
+        m_prev = m_s[:, h : h + 1]
+        m_new = jnp.maximum(m_prev, m_loc)
+        # P quantized against the block-local row max (== 1.0 by
+        # construction): x127 folded into the exp, +0.5 makes the int8
+        # cast's truncation a round-half-up.
+        p8 = (jnp.exp(s - m_loc + _LOG127) + 0.5).astype(jnp.int8)
+        v_aug = jnp.concatenate(
+            [vf[:, sl], jnp.ones((vf.shape[0], 1), jnp.int8)], axis=-1
+        )
+        pv = jax.lax.dot_general(
+            p8, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        alpha = jnp.exp(m_prev - m_new)
+        gamma = jnp.exp(m_loc - m_new) * (1.0 / 127.0)
+        l_s[:, h : h + 1] = alpha * l_s[:, h : h + 1] + pv[:, D:] * gamma
+        # per-channel V scales: a (D,) row broadcast over the (bq, D) slab
+        acc[:, sl] = acc[:, sl] * alpha + (pv[:, :D] * gamma) * sv_ref[0, 0, sl]
+        m_s[:, h : h + 1] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        for h in range(heads):
+            sl = slice(h * D, (h + 1) * D)
+            o_ref[0, :, sl] = (acc[:, sl] / l_s[:, h : h + 1]).astype(o_ref.dtype)
+        lse_ref[0] = m_s[:] + jnp.log(l_s[:])
+
+
+def _quantize_rows(x, heads):
+    """(B, S, H*D) float -> int8 with per-(batch, token, head) scales."""
+    B, S, HD = x.shape
+    D = HD // heads
+    xb = x.reshape(B, S, heads, D).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xb), axis=3)  # (B, S, heads)
+    scale = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    q8 = jnp.round(xb / scale[..., None]).astype(jnp.int8)
+    return q8.reshape(B, S, HD), scale
+
+
+def _quantize_heads(x, heads):
+    """(B, S, H*D) float -> int8 with per-(batch, head) scales over the whole
+    sequence. (Mosaic block specs can't tile a per-k-block scale row, so K
+    uses tensor granularity; smoothing already removed its mean.)"""
+    B, S, HD = x.shape
+    D = HD // heads
+    xb = x.reshape(B, S, heads, D).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xb), axis=(1, 3), keepdims=True)  # (B,1,H,1)
+    scale = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    q8 = jnp.round(xb / scale).astype(jnp.int8)
+    return q8.reshape(B, S, HD), scale[:, :, :, 0]  # (B, 1, heads)
+
+
+def _quantize_channels(x):
+    """(B, S, H*D) float -> int8 with per-(batch, channel) scales — V's
+    per-channel quantization (channel = packed H*D lane)."""
+    B, S, HD = x.shape
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)  # (B, 1, HD)
+    scale = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    q8 = jnp.round(xf / scale).astype(jnp.int8)
+    return q8, scale
+
+
+def _flash_fwd_packed_int8(q, k, v, heads, scale, block_q, block_k, interpret):
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // heads
+    nq = Sq // block_q
+    nk = Sk // block_k
+
+    # K smoothing: the per-head mean over the sequence is a row-constant
+    # score offset, invisible to softmax, and halves K's quantization range.
+    k4 = k.reshape(B, Sk, heads, D).astype(jnp.float32)
+    k_sm = (k4 - k4.mean(axis=1, keepdims=True)).reshape(B, Sk, HD)
+
+    q8, sq = _quantize_rows(q, heads)
+    k8, sk = _quantize_heads(k_sm, heads)
+    v8, sv = _quantize_channels(v)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_packed_int8, heads=heads, head_dim=D, scale=scale, nk=nk,
+        ),
+        grid=(B, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, HD), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, HD), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, HD), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, heads), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, heads), lambda b, i, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, HD), lambda b, i, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, HD), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, heads), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Sq, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, Sq, heads), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, HD), jnp.float32),
+            pltpu.VMEM((block_q, heads), jnp.float32),
+            pltpu.VMEM((block_q, heads), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q8, k8, v8, sq, sk, sv)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_packed_int8(q, k, v, heads, scale, block_q, block_k, interpret):
+    out, _ = _flash_fwd_packed_int8(q, k, v, heads, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_attention_packed_int8_fwd(q, k, v, heads, scale, block_q, block_k, interpret):
+    out, lse = _flash_fwd_packed_int8(q, k, v, heads, scale, block_q, block_k, interpret)
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_packed_int8_bwd(heads, scale, block_q, block_k, interpret, res, g):
+    # Straight-through: the exact bf16 flash backward evaluated at the int8
+    # forward's (out, lse). Lets impl="int8" survive under jax.grad
+    # (quantization-aware finetuning); training configs default to bf16.
+    return _flash_attention_packed_bwd(
+        heads, scale, min(block_q, 512), min(block_k, 512),
+        res[1].shape[1], interpret, res, g,
+    )
+
+
+_flash_attention_packed_int8.defvjp(
+    _flash_attention_packed_int8_fwd, _flash_attention_packed_int8_bwd
+)
+
+
+def flash_attention_packed_int8(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8-quantized flash attention on the packed (B, S, H*D) layout.
+
+    Shapes whose sequence lengths don't tile into whole blocks (after the
+    min() clamp) fall back to the bf16 packed kernel — on the UNet that is
+    only the 77-token text cross-attention, which the XLA path serves
+    anyway.
+    """
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    block_q = min(block_q, Sq)
+    block_k = min(block_k, Sk)
+    if Sq % block_q or Sk % block_k or Sq % 128 or Sk % 128:
+        return flash_attention_packed(q, k, v, heads, scale, interpret=interpret)
+    return _flash_attention_packed_int8(
+        q, k, v, heads, float(scale), block_q, block_k, interpret
+    )
+
+
+# ---------------------------------------------------------------------------
 # Backward kernels
 # ---------------------------------------------------------------------------
 
@@ -593,7 +835,15 @@ def attention_packed(
         return flash_attention_packed(q, k, v, heads, scale)
     if impl == "pallas_interpret":
         return flash_attention_packed(q, k, v, heads, scale, interpret=True)
+    if impl == "int8_interpret":
+        return flash_attention_packed_int8(q, k, v, heads, scale, interpret=True)
     on_tpu = jax.default_backend() == "tpu"
+    if impl == "int8":
+        # Quantized path only where the flash kernel would run at all;
+        # short sequences keep the (exact) XLA fallback below.
+        if on_tpu and Sq >= _MIN_PALLAS_SEQ and Sk >= 128:
+            return flash_attention_packed_int8(q, k, v, heads, scale)
+        impl = "auto"
     if impl != "xla" and on_tpu and Sq >= _MIN_PALLAS_SEQ and Sk >= 128:
         return flash_attention_packed(q, k, v, heads, scale)
     split = lambda t, s: t.reshape(B, s, heads, D).transpose(0, 2, 1, 3)

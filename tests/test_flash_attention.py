@@ -167,6 +167,70 @@ class TestPackedLayout:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4)
 
+    def test_int8_forward_accuracy(self):
+        """The int8 (SageAttention-style) kernel is a closed-out perf
+        experiment (slower than bf16 on v5e at D=64 — see the kernel's
+        header) but must stay CORRECT: ~34 dB vs the f32 reference at this
+        shape, limited by the int8 P term. K gets a non-zero mean so the
+        smoothing path is exercised."""
+        from mvd_tpu.kernels.flash_attention import flash_attention_packed_int8
+
+        rng = np.random.default_rng(3)
+        heads, D, S = 2, 64, 256
+        q = jnp.asarray(rng.standard_normal((1, S, heads * D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, S, heads * D)) + 0.7, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, S, heads * D)), jnp.float32)
+        got = flash_attention_packed_int8(
+            q, k, v, heads, block_q=128, block_k=128, interpret=True
+        )
+        want = self._ref(q, k, v, heads)
+        err = np.mean((np.asarray(got) - np.asarray(want)) ** 2)
+        sig = np.mean(np.asarray(want) ** 2)
+        snr_db = 10 * np.log10(sig / err)
+        assert snr_db > 30.0, f"int8 attention SNR {snr_db:.1f} dB < 30"
+
+    def test_int8_grad_straight_through(self):
+        """impl="int8" survives jax.grad: the straight-through VJP feeds the
+        int8 forward's (out, lse) to the bf16 flash backward, so gradients
+        approximate the exact ones."""
+        from mvd_tpu.kernels.flash_attention import flash_attention_packed_int8
+
+        rng = np.random.default_rng(4)
+        heads, D, S = 2, 64, 256
+        q = jnp.asarray(rng.standard_normal((1, S, heads * D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, S, heads * D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, S, heads * D)), jnp.float32)
+        f8 = lambda q, k, v: jnp.sum(
+            flash_attention_packed_int8(
+                q, k, v, heads, block_q=128, block_k=128, interpret=True
+            ) ** 2
+        )
+        fr = lambda q, k, v: jnp.sum(self._ref(q, k, v, heads) ** 2)
+        g8 = jax.grad(f8, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g8, gr):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.abs(a - b).max() / np.abs(b).max()
+            assert rel < 0.15, f"straight-through grad rel err {rel:.3f}"
+
+    def test_int8_fallback_on_untileable_shapes(self):
+        """Sequence lengths that don't tile into whole blocks route to the
+        (exact) bf16 packed kernel."""
+        from mvd_tpu.kernels.flash_attention import flash_attention_packed_int8
+
+        rng = np.random.default_rng(5)
+        heads, D = 2, 64
+        q = jnp.asarray(rng.standard_normal((1, 300, heads * D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 77, heads * D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 77, heads * D)), jnp.float32)
+        got = flash_attention_packed_int8(
+            q, k, v, heads, block_q=128, block_k=128, interpret=True
+        )
+        want = self._ref(q, k, v, heads)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
     def test_dispatch_xla_fallback(self):
         from mvd_tpu.kernels.flash_attention import attention_packed
 
