@@ -289,3 +289,60 @@ def test_blender_camera_tables():
     for x, y, z in pos5:
         assert z >= 0
         assert abs(math.sqrt(x * x + y * y + z * z) - CAMERA_RADIUS) < 1e-6
+
+
+def test_downloader_filters_and_logbooks(tmp_path):
+    """download_objaverse: source/file-type filters and the per-object CSV
+    logbooks (reference download_objaverse.py:28-85) — offline, via a
+    pandas-like shim."""
+    import pandas as pd
+
+    from tools.downloaders.download_objaverse import CsvLogbook, filter_annotations
+
+    ann = pd.DataFrame(
+        {
+            "source": ["sketchfab", "github", "sketchfab"],
+            "fileIdentifier": ["a/x.glb", "b/y.OBJ", "c/z.fbx"],
+            "repoSizeMB": [10, 500, 20],
+        }
+    )
+    out = filter_annotations(ann, sources=["sketchfab"])
+    assert list(out["fileIdentifier"]) == ["a/x.glb", "c/z.fbx"]
+    out = filter_annotations(ann, file_types=["glb", ".obj"])
+    assert list(out["fileIdentifier"]) == ["a/x.glb", "b/y.OBJ"]
+    out = filter_annotations(ann, max_repo_mb=100)
+    assert len(out) == 2
+
+    lb = CsvLogbook(str(tmp_path / "ok.csv"))
+    lb.log(sha256="s1", source="github", identifier="b/y.OBJ", detail="/tmp/y")
+    lb2 = CsvLogbook(str(tmp_path / "ok.csv"))  # append, not truncate
+    lb2.log(sha256="s2", source="sketchfab", identifier="a/x.glb")
+    rows = open(tmp_path / "ok.csv").read().strip().splitlines()
+    assert len(rows) == 3 and rows[0].startswith("timestamp")
+
+
+def test_gso_download_retry(tmp_path, monkeypatch):
+    """download_gso retries with backoff and re-raises after the last
+    attempt; existing files short-circuit as skipped."""
+    from tools.downloaders import download_gso
+
+    calls = []
+
+    def flaky(name, out_dir):
+        calls.append(name)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return True
+
+    monkeypatch.setattr(download_gso, "download_model", flaky)
+    monkeypatch.setattr(download_gso.time, "sleep", lambda s: None)
+    assert download_gso.download_with_retry("m", str(tmp_path)) is True
+    assert len(calls) == 3
+
+    calls.clear()
+    monkeypatch.setattr(
+        download_gso, "download_model",
+        lambda n, d: (_ for _ in ()).throw(OSError("down")),
+    )
+    with pytest.raises(OSError):
+        download_gso.download_with_retry("m", str(tmp_path), attempts=2)
