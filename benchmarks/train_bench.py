@@ -57,13 +57,30 @@ def main():
     step_fn = make_train_step(pipe, pipe.schedule, cfg)
 
     rng = np.random.default_rng(0)
+    # MVD_BENCH_LATENT_CACHE=1 feeds precomputed posterior moments instead
+    # of pixels (cli/precompute_latents.py corpus cache) — the encoder-free
+    # train step (data/latent_cache.py).
+    latent_cache = os.environ.get("MVD_BENCH_LATENT_CACHE", "0") == "1"
+    lat = res // 8
     batch = {
-        "source_image": jnp.asarray(rng.uniform(-1, 1, (B, 1, res, res, 3)), jnp.float32),
-        "target_image": jnp.asarray(rng.uniform(-1, 1, (B, 1, res, res, 3)), jnp.float32),
         "source_camera": jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1, 1)),
         "target_camera": jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1, 1)),
         "input_ids": jnp.ones((B, 1, 77), jnp.int32),
     }
+    if latent_cache:
+        batch["source_moments"] = jnp.asarray(
+            rng.standard_normal((B, 1, 2, lat, lat, 4)), jnp.float32
+        )
+        batch["target_moments"] = jnp.asarray(
+            rng.standard_normal((B, 1, 2, lat, lat, 4)), jnp.float32
+        )
+    else:
+        batch["source_image"] = jnp.asarray(
+            rng.uniform(-1, 1, (B, 1, res, res, 3)), jnp.float32
+        )
+        batch["target_image"] = jnp.asarray(
+            rng.uniform(-1, 1, (B, 1, res, res, 3)), jnp.float32
+        )
     print("compile...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
@@ -82,6 +99,7 @@ def main():
     print(
         f"train step: {dt * 1e3:.1f} ms/step  ({B / dt:.2f} samples/sec/chip)  "
         f"batch {B} pairs @ {res}^2, remat={'on' if remat else 'OFF'}, "
+        f"latent_cache={'on' if latent_cache else 'off'}, "
         f"backend={jax.default_backend()}"
     )
 

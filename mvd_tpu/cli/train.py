@@ -37,6 +37,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-slices", type=int, default=1,
                    help=">1 builds a multi-slice (DCN) mesh: the data axis "
                         "spans slices, view/model stay within a slice (ICI)")
+    p.add_argument("--latent-cache-dir", type=str, default=None,
+                   help="precomputed VAE latent-moment cache "
+                   "(cli/precompute_latents.py); train batches skip the "
+                   "per-step VAE encode")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     p.add_argument("--debug-nans", action="store_true")
     return p
@@ -110,6 +114,7 @@ def main(argv=None):
         views_per_sample=max(1, args.num_views),
         seed=cfg.seed,
         dataset_format=args.dataset_format or data_cfg.dataset_format,
+        latent_cache_dir=args.latent_cache_dir or data_cfg.latent_cache_dir,
     )
     dm.setup()
 

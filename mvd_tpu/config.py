@@ -223,6 +223,12 @@ class TrainConfig:
     max_checkpoints: int = 3
     val_check_interval: float = 1.0
     metrics_log_interval: int = 50
+    # Encode only the UNIQUE source view of each (B, V) view-group in the
+    # train step and tile the posterior moments to the V rows — bit-identical
+    # latents at 1/V the source-encoder cost (train/step.py:make_loss_fn,
+    # the pipeline's _encode_source trick applied to training). No effect at
+    # V == 1 or when training from a latent cache.
+    unique_source_encode: bool = True
     log_every_steps: int = 1
     output_dir: str = "outputs"
     # parallelism
@@ -242,6 +248,10 @@ class DataConfig:
     val_split: float = 0.1
     test_split: float = 0.1
     seed: int = 42
+    # Precomputed VAE latent-moment cache dir (cli/precompute_latents.py):
+    # train batches then carry posterior moments instead of pixels and the
+    # train step skips the per-step VAE encode (data/latent_cache.py).
+    latent_cache_dir: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------
@@ -333,4 +343,5 @@ def data_config_from_yaml(path: str) -> DataConfig:
         dataset_samples=None if samples is None else int(samples),
         num_workers=int(_get(raw, "num_workers", default=8)),
         seed=int(_get(raw, "seed", default=42)),
+        latent_cache_dir=_get(raw, "latent_cache_dir", default=None),
     )

@@ -1,0 +1,219 @@
+"""Precomputed VAE latent-moment cache for training.
+
+The reference VAE-encodes source AND target pixels inside every training
+step (training.py:173-177) — pure frozen-encoder work repeated for every
+epoch over the same images. Production diffusion trainers instead encode the
+corpus ONCE and train from cached latent posteriors. This module implements
+that as a first-class framework feature:
+
+- ``precompute_latent_cache``: batch-encode every view of every corpus zip
+  through ``AutoencoderKL.encode_moments`` and store the per-view posterior
+  moments (mean, logvar) as one ``.npz`` per object zip.
+- ``LatentCacheReader``: thread-safe moment lookup used by the dataset.
+
+Caching MOMENTS (not samples) preserves training semantics exactly: the
+per-step latent is ``mean + exp(0.5·logvar)·eps`` with fresh per-step
+``eps`` — the same posterior the in-step encoder produces, drawn with the
+same rng key and shape. At a float32 cache the only difference from pixel
+training is f32 ulp noise on the moments (XLA fuses the encoder
+differently per batch shape); tests/test_latent_cache.py pins the bound.
+
+Cache layout::
+
+    <cache_dir>/meta.json                        {"image_size": N, "dtype": …}
+    <cache_dir>/<zip_basename>.npz               keys "000", "001", … each
+                                                 (2, H/8, W/8, 4) stacked
+                                                 (mean, logvar)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import os
+import threading
+import zipfile
+from glob import glob
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+META_NAME = "meta.json"
+
+
+def cache_file_for(cache_dir: str, zip_path: str) -> str:
+    base = os.path.splitext(os.path.basename(zip_path))[0]
+    return os.path.join(cache_dir, base + ".npz")
+
+
+def _list_views(zf: zipfile.ZipFile) -> List[int]:
+    views = []
+    for name in zf.namelist():
+        stem = os.path.basename(name)
+        if stem.endswith(".png") and stem[:-4].isdigit():
+            views.append(int(stem[:-4]))
+    return sorted(set(views))
+
+
+def write_meta(cache_dir: str, image_size: int, dtype: str):
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(os.path.join(cache_dir, META_NAME), "w") as f:
+        json.dump({"image_size": image_size, "dtype": dtype, "version": 1}, f)
+
+
+def read_meta(cache_dir: str) -> Optional[Dict]:
+    path = os.path.join(cache_dir, META_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def precompute_latent_cache(
+    vae,
+    vae_params,
+    zip_paths: Sequence[str],
+    cache_dir: str,
+    image_size: int,
+    batch_size: int = 8,
+    dtype: str = "float32",
+    overwrite: bool = False,
+) -> Dict[str, int]:
+    """Encode every view of every zip and write per-zip moment ``.npz`` files.
+
+    Batches are padded to ``batch_size`` so the jitted encoder compiles for
+    exactly one shape. Returns ``{"zips": n, "views": n, "skipped": n}``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .objaverse import _load_image_from_bytes
+
+    store_dtype = np.dtype(dtype)
+    write_meta(cache_dir, image_size, store_dtype.name)
+
+    encode = jax.jit(
+        lambda px: vae.apply(vae_params, px, method=vae.encode_moments)
+    )
+
+    stats = {"zips": 0, "views": 0, "skipped": 0}
+    pending: List[tuple] = []  # (zip_path, view, pixels)
+    per_zip: Dict[str, Dict[str, np.ndarray]] = {}
+    counts: Dict[str, int] = {}
+
+    def flush():
+        if not pending:
+            return
+        px = np.stack([p[2] for p in pending])
+        n = px.shape[0]
+        if n < batch_size:  # pad to the compiled batch shape
+            px = np.concatenate([px, np.zeros((batch_size - n,) + px.shape[1:], px.dtype)])
+        mean, logvar = encode(jnp.asarray(px))
+        mom = np.stack([np.asarray(mean), np.asarray(logvar)], axis=1)[:n]
+        for (zp, view, _), m in zip(pending, mom):
+            per_zip[zp][f"{view:03d}"] = m.astype(store_dtype)
+            counts[zp] -= 1
+            if counts[zp] == 0:
+                out = cache_file_for(cache_dir, zp)
+                np.savez_compressed(out + ".tmp.npz", **per_zip.pop(zp))
+                os.replace(out + ".tmp.npz", out)
+                stats["zips"] += 1
+        stats["views"] += len(pending)
+        pending.clear()
+
+    for zp in zip_paths:
+        out = cache_file_for(cache_dir, zp)
+        if os.path.exists(out) and not overwrite:
+            stats["skipped"] += 1
+            continue
+        try:
+            with zipfile.ZipFile(zp) as zf:
+                views = _list_views(zf)
+                if not views:
+                    logger.warning("no views in %s", zp)
+                    continue
+                per_zip[zp] = {}
+                counts[zp] = len(views)
+                for v in views:
+                    png = next(
+                        n for n in zf.namelist()
+                        if os.path.basename(n) == f"{v:03d}.png"
+                    )
+                    px = _load_image_from_bytes(zf.read(png), image_size)
+                    pending.append((zp, v, px))
+                    if len(pending) == batch_size:
+                        flush()
+        except (zipfile.BadZipFile, OSError) as e:
+            logger.warning("skipping unreadable zip %s: %s", zp, e)
+            per_zip.pop(zp, None)
+            counts.pop(zp, None)
+            pending[:] = [p for p in pending if p[0] != zp]
+    flush()
+    return stats
+
+
+class LatentCacheReader:
+    """Thread-safe per-view moment lookup over a cache directory.
+
+    ``read(zip_path, view)`` returns a ``(2, h, w, 4)`` float32 array of
+    stacked (mean, logvar). Raises ``FileNotFoundError`` when the zip has no
+    cache file (run ``mvd-precompute-latents`` / ``cli.precompute_latents``
+    over the corpus first) and ``KeyError`` for a missing view.
+    """
+
+    def __init__(self, cache_dir: str, image_size: Optional[int] = None):
+        self.cache_dir = cache_dir
+        meta = read_meta(cache_dir)
+        if meta is None:
+            raise FileNotFoundError(
+                f"latent cache at {cache_dir!r} has no {META_NAME} — "
+                "run cli/precompute_latents.py over the corpus first"
+            )
+        if image_size is not None and meta.get("image_size") != image_size:
+            raise ValueError(
+                f"latent cache was built at image_size={meta.get('image_size')} "
+                f"but the dataset wants {image_size}; rebuild the cache"
+            )
+        self.meta = meta
+        self._lock = threading.Lock()
+        self._handles: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def coverage(self, zip_paths: Sequence[str]) -> List[str]:
+        """Zip paths with NO cache file (should be empty for a full cache)."""
+        return [
+            zp for zp in zip_paths
+            if not os.path.exists(cache_file_for(self.cache_dir, zp))
+        ]
+
+    def _load(self, zp: str) -> Dict[str, np.ndarray]:
+        with self._lock:
+            if zp not in self._handles:
+                path = cache_file_for(self.cache_dir, zp)
+                if not os.path.exists(path):
+                    raise FileNotFoundError(
+                        f"no latent cache for {zp!r} (expected {path})"
+                    )
+                with np.load(path) as z:
+                    self._handles[zp] = {k: z[k] for k in z.files}
+            return self._handles[zp]
+
+    def read(self, zip_path: str, view: int) -> np.ndarray:
+        data = self._load(zip_path)
+        key = f"{view:03d}"
+        if key not in data:
+            raise KeyError(f"view {key} not in latent cache for {zip_path!r}")
+        return data[key].astype(np.float32)
+
+    def evict(self, zip_path: str):
+        with self._lock:
+            self._handles.pop(zip_path, None)
+
+
+def corpus_zips(data_root: str) -> List[str]:
+    files = sorted(glob(os.path.join(data_root, "renders_final", "*.zip")))
+    if not files:
+        files = sorted(glob(os.path.join(data_root, "*.zip")))
+    return files

@@ -100,6 +100,7 @@ class ObjaverseDataset:
         cache_dir: Optional[str] = None,
         views_per_sample: int = 1,
         use_native: Optional[bool] = None,
+        latent_cache_dir: Optional[str] = None,
     ):
         assert split in ("train", "val", "test")
         self.data_root = data_root
@@ -112,6 +113,12 @@ class ObjaverseDataset:
         self.test_split = test_split
         self.cache_dir = cache_dir or os.path.join(data_root, ".mvd_cache")
         self.views_per_sample = views_per_sample
+        # Precomputed VAE latent-moment cache (data/latent_cache.py): when
+        # set, samples carry "{source,target}_moments" (2,h,w,4) posteriors
+        # instead of pixels and the train step skips the in-step VAE encode
+        # entirely (reference training.py:173-177 re-encodes per step).
+        self.latent_cache_dir = latent_cache_dir
+        self.latent_cache = None
         if use_native is None:
             from . import native_loader
 
@@ -132,6 +139,21 @@ class ObjaverseDataset:
         self.all_files = files
         self._split_dataset()
         self._build_view_pairs()
+        if self.latent_cache_dir:
+            from .latent_cache import LatentCacheReader
+
+            self.latent_cache = LatentCacheReader(
+                self.latent_cache_dir, image_size=self.image_size
+            )
+            missing = self.latent_cache.coverage(
+                sorted({p.zip_path for p in self.pairs})
+            )
+            if missing:
+                raise FileNotFoundError(
+                    f"latent cache at {self.latent_cache_dir!r} is missing "
+                    f"{len(missing)} of the split's zips (e.g. {missing[:3]}) — "
+                    "run cli/precompute_latents.py over the corpus first"
+                )
 
     def _split_dataset(self):
         assert self.val_split + self.test_split < 1.0
@@ -244,6 +266,26 @@ class ObjaverseDataset:
             cam = np.concatenate([cam, np.array([[0, 0, 0, 1]], np.float32)], axis=0)
         return img, cam
 
+    def _read_camera(self, zp: str, view: int) -> np.ndarray:
+        z = self._zip(zp)
+        npy = next(n for n in z.namelist() if n.endswith(f"{view:03d}.npy"))
+        cam = np.load(io.BytesIO(z.read(npy))).astype(np.float32)
+        if cam.shape == (3, 4):
+            cam = np.concatenate([cam, np.array([[0, 0, 0, 1]], np.float32)], axis=0)
+        return cam
+
+    def _view_payload(self, zp: str, view: int, role: str) -> Dict[str, np.ndarray]:
+        """One view as sample entries: pixels (``<role>_image``) normally, or
+        cached latent moments (``<role>_moments``) when a latent cache is
+        attached. Cameras always come from the zip (tiny)."""
+        if self.latent_cache is not None:
+            return {
+                f"{role}_moments": self.latent_cache.read(zp, view),
+                f"{role}_camera": self._read_camera(zp, view),
+            }
+        img, cam = self._read_view(zp, view)
+        return {f"{role}_image": img, f"{role}_camera": cam}
+
     def view_groups(self, num_targets: int) -> List[ViewGroup]:
         """Group the pair list into per-object (source, V targets) units."""
         by_obj: Dict[Tuple[str, int], List[ViewPair]] = {}
@@ -266,13 +308,9 @@ class ObjaverseDataset:
                 raise RuntimeError("dataset exhausted: all pairs evicted")
             pair = self.pairs[idx % len(self.pairs)]
             try:
-                src_img, src_cam = self._read_view(pair.zip_path, pair.source_view)
-                tgt_img, tgt_cam = self._read_view(pair.zip_path, pair.target_view)
                 return {
-                    "source_image": src_img,
-                    "target_image": tgt_img,
-                    "source_camera": src_cam,
-                    "target_camera": tgt_cam,
+                    **self._view_payload(pair.zip_path, pair.source_view, "source"),
+                    **self._view_payload(pair.zip_path, pair.target_view, "target"),
                     "prompt": pair.prompt,
                 }
             except (zipfile.BadZipFile, FileNotFoundError, OSError) as e:
@@ -326,13 +364,11 @@ def collate(
         )
 
     ids = tokenizer([s["prompt"] for s in samples]).reshape(B, V, -1)
-    return {
-        "source_image": stack("source_image"),
-        "target_image": stack("target_image"),
-        "source_camera": stack("source_camera"),
-        "target_camera": stack("target_camera"),
-        "input_ids": ids,
-    }
+    # stack every array entry the samples carry — pixel batches have
+    # {source,target}_image, latent-cache batches {source,target}_moments
+    out = {k: stack(k) for k in samples[0] if k != "prompt"}
+    out["input_ids"] = ids
+    return out
 
 
 class DataLoader:
@@ -372,21 +408,20 @@ class DataLoader:
             n += 1
         return n
 
+    def _payload(self, zp: str, view: int, role: str) -> Dict[str, np.ndarray]:
+        fn = getattr(self.ds, "_view_payload", None)
+        if fn is not None:  # latent-cache-aware datasets (objaverse)
+            return fn(zp, view, role)
+        img, cam = self.ds._read_view(zp, view)
+        return {f"{role}_image": img, f"{role}_camera": cam}
+
     def _load_group(self, group: ViewGroup) -> List[Dict[str, np.ndarray]]:
         """V samples sharing one source view (joint multi-view unit)."""
-        src_img, src_cam = self.ds._read_view(group.zip_path, group.source_view)
+        src = self._payload(group.zip_path, group.source_view, "source")
         out = []
         for tv in group.target_views:
-            tgt_img, tgt_cam = self.ds._read_view(group.zip_path, tv)
-            out.append(
-                {
-                    "source_image": src_img,
-                    "target_image": tgt_img,
-                    "source_camera": src_cam,
-                    "target_camera": tgt_cam,
-                    "prompt": group.prompt,
-                }
-            )
+            tgt = self._payload(group.zip_path, tv, "target")
+            out.append({**src, **tgt, "prompt": group.prompt})
         return out
 
     def __iter__(self):
@@ -466,7 +501,8 @@ class ObjaverseDataModule:
     def __init__(self, data_root: str, tokenizer, image_size=768,
                  batch_size=6, max_views_per_object=8, dataset_samples=None,
                  views_per_sample=1, num_workers=4, seed=42,
-                 dataset_format: str = "objaverse"):
+                 dataset_format: str = "objaverse",
+                 latent_cache_dir: Optional[str] = None):
         self.kwargs = dict(
             data_root=data_root,
             image_size=image_size,
@@ -480,6 +516,9 @@ class ObjaverseDataModule:
         self.views_per_sample = views_per_sample
         self.num_workers = num_workers
         self.dataset_format = dataset_format
+        # train split only: validation generates images (needs source pixels)
+        # and compares against target pixels, so val/test stay on pixels
+        self.latent_cache_dir = latent_cache_dir
         self.datasets: Dict[str, ObjaverseDataset] = {}
 
     def _dataset_cls(self):
@@ -494,7 +533,10 @@ class ObjaverseDataModule:
     def setup(self):
         cls = self._dataset_cls()
         for split in ("train", "val", "test"):
-            self.datasets[split] = cls(split=split, **self.kwargs)
+            kw = dict(self.kwargs)
+            if split == "train" and self.latent_cache_dir and cls is ObjaverseDataset:
+                kw["latent_cache_dir"] = self.latent_cache_dir
+            self.datasets[split] = cls(split=split, **kw)
 
     def loader(self, split: str, shuffle: Optional[bool] = None) -> DataLoader:
         if split not in self.datasets:

@@ -134,12 +134,23 @@ def merge_params(a, b):
     return unflatten_dict({**flatten_dict(a), **flatten_dict(b)})
 
 
+def _sample_from_moments(moments, rng, sf):
+    """Latent sample from cached posterior moments (N, 2, h, w, 4) — the
+    same ``mean + exp(0.5·logvar)·eps`` draw ``AutoencoderKL.encode`` makes,
+    with eps at the same shape/key; a float32 cache matches the pixel path
+    to f32 ulp on the moments (data/latent_cache.py)."""
+    mean, logvar = moments[:, 0], moments[:, 1]
+    std = jnp.exp(0.5 * logvar)
+    return (mean + std * jax.random.normal(rng, mean.shape, dtype=mean.dtype)) * sf
+
+
 def make_loss_fn(
     pipe,
     schedule: NoiseSchedule,
     cfg: TrainConfig,
     with_recon_metrics: bool = False,
     image_metric_fns: Optional[Dict[str, Any]] = None,
+    source_repeat: int = 1,
 ):
     """Local (per-shard) loss over a flat-row batch.
 
@@ -148,9 +159,39 @@ def make_loss_fn(
     losses.py:209-261) from the same forward pass; the Trainer calls this
     variant every ``metrics_log_interval`` steps (training.py:250-255).
     ``image_metric_fns`` maps metric names to fns(img_hat, img_tgt) -> scalar
-    for optional tower metrics (perceptual/CLIP) when weights exist."""
+    for optional tower metrics (perceptual/CLIP) when weights exist.
+
+    ``source_repeat`` = how many consecutive flat rows share one source view
+    (the group loader's (B, V) layout flattens group-major,
+    data/objaverse.py:_load_group): the source encoder then runs over the
+    UNIQUE rows only and the posterior moments are tiled back — bit-identical
+    to the naive path (same eps shape/key; the pipeline's moment-tiling
+    trick, pipeline.py:_encode_source, applied to training).
+
+    Batches may carry pixels ({source,target}_image) or cached latent
+    posterior moments ({source,target}_moments, data/latent_cache.py) — the
+    latter skip the frozen VAE encoder entirely (the reference re-encodes
+    per step, training.py:173-177)."""
     cfgm = pipe.config
     sf = cfgm.vae.scaling_factor
+
+    def encode_source(frozen, batch, r_vs):
+        if "source_moments" in batch:
+            return _sample_from_moments(batch["source_moments"], r_vs, sf)
+        px = batch["source_image"]
+        if source_repeat > 1:
+            mean, logvar = pipe.vae.apply(
+                frozen["vae"], px[::source_repeat], method=pipe.vae.encode_moments
+            )
+            mean = jnp.repeat(mean, source_repeat, axis=0)
+            logvar = jnp.repeat(logvar, source_repeat, axis=0)
+            std = jnp.exp(0.5 * logvar)
+            eps = jax.random.normal(r_vs, mean.shape, dtype=mean.dtype)
+            return (mean + std * eps) * sf
+        return (
+            pipe.vae.apply(frozen["vae"], px, r_vs, True, method=pipe.vae.encode)
+            * sf
+        )
 
     def loss_fn(params, frozen, batch, rng):
         # batch entries are flat rows (N, ...)
@@ -161,18 +202,17 @@ def make_loss_fn(
         text = pipe.text_encoder.apply(frozen["text_encoder"], ids)
         text = jax.lax.stop_gradient(text)
 
-        src_lat = (
-            pipe.vae.apply(
-                frozen["vae"], batch["source_image"], r_vs, True, method=pipe.vae.encode
+        src_lat = encode_source(frozen, batch, r_vs)
+        if "target_moments" in batch:
+            tgt_lat = _sample_from_moments(batch["target_moments"], r_vt, sf)
+        else:
+            tgt_lat = (
+                pipe.vae.apply(
+                    frozen["vae"], batch["target_image"], r_vt, True,
+                    method=pipe.vae.encode,
+                )
+                * sf
             )
-            * sf
-        )
-        tgt_lat = (
-            pipe.vae.apply(
-                frozen["vae"], batch["target_image"], r_vt, True, method=pipe.vae.encode
-            )
-            * sf
-        )
         src_lat = jax.lax.stop_gradient(src_lat)
         tgt_lat = jax.lax.stop_gradient(tgt_lat)
 
@@ -377,7 +417,14 @@ def make_train_step(
     """Returns jitted fn(state, frozen, batch, rng) -> (state, metrics).
 
     ``batch`` entries are (B, V, ...) arrays."""
-    loss_fn = make_loss_fn(pipe, schedule, cfg)
+
+    def loss_for(batch, dedupe_ok=True):
+        # V is static at trace time; consecutive flat rows share a source
+        # iff the batch came through the group loader (V > 1,
+        # data/objaverse.py:_load_group) — encode unique sources only then
+        V = batch["input_ids"].shape[1]
+        rep = V if (dedupe_ok and V > 1 and cfg.unique_source_encode) else 1
+        return make_loss_fn(pipe, schedule, cfg, source_repeat=rep)
 
     if view_sharded:
         assert mesh is not None and pipe.config.unet.view_axis == "view"
@@ -385,6 +432,8 @@ def make_train_step(
         def local_loss(params, frozen, batch, rng):
             rng = jax.random.fold_in(rng, lax.axis_index("data"))
             rng = jax.random.fold_in(rng, lax.axis_index("view"))
+            # inside shard_map: shapes (and therefore V) are LOCAL blocks
+            loss_fn = loss_for(batch)
             flat_batch = {k: _flat(v) for k, v in batch.items()}
             loss, metrics = loss_fn(params, frozen, flat_batch, rng)
             loss = lax.pmean(loss, ("data", "view"))
@@ -432,6 +481,10 @@ def make_train_step(
 
     # --- default: DP over (data, view) on flat rows via shardings ---
     def step(state: TrainState, frozen, batch, rng):
+        # with a sharded view axis the [::V] source slice would gather
+        # across shards — dedupe only when the view axis is whole
+        view_whole = mesh is None or mesh.shape.get("view", 1) == 1
+        loss_fn = loss_for(batch, dedupe_ok=view_whole)
         flat_batch = {k: _flat(v) for k, v in batch.items()}
         mask = trainable_mask(state.params, cfg.train_denoising_unet)
         t_params, f_params = split_params(state.params, mask)
