@@ -1,4 +1,10 @@
-from .orbax_io import CheckpointManager, load_params, save_params  # noqa: F401
+from .orbax_io import (  # noqa: F401
+    CheckpointManager,
+    load_params,
+    peek_checkpoint_meta,
+    resolve_resume_path,
+    save_params,
+)
 from .torch_convert import (  # noqa: F401
     convert_camera_encoder_state_dict,
     convert_clip_text_state_dict,
@@ -7,4 +13,5 @@ from .torch_convert import (  # noqa: F401
     convert_vae_state_dict,
     export_unet_state_dict,
     split_lightning_state_dict,
+    zero_pad_conv_in,
 )

@@ -296,6 +296,25 @@ def convert_lightning_checkpoint(
 # ---------------------------------------------------------------------------
 
 
+def zero_pad_conv_in(unet_params: Dict, extra_in_channels: int = 6) -> Dict:
+    """Zero-pad conv_in's input channels for ray-map conditioning.
+
+    Converted SD checkpoints carry a (3, 3, 4, 320) conv_in kernel; a
+    ray-conditioned UNet (ModelConfig.use_ray_conditioning) expects
+    4 + 6 = 10 input channels. Zeros on the new rows make the pretrained
+    model's output IDENTICAL at load time (the ray channels contribute
+    nothing until training moves the weights) — the standard
+    extra-conditioning warm start. Returns a new UNet param subtree.
+    """
+    tree = dict(unet_params)
+    conv = dict(tree["conv_in"])
+    k = np.asarray(conv["kernel"])
+    pad = np.zeros(k.shape[:2] + (extra_in_channels, k.shape[3]), k.dtype)
+    conv["kernel"] = np.concatenate([k, pad], axis=2)
+    tree["conv_in"] = conv
+    return tree
+
+
 def export_unet_state_dict(unet_params: Dict) -> Dict[str, np.ndarray]:
     """flax UNet param dict -> diffusers-style torch state dict (numpy)."""
     inv_block = [

@@ -39,8 +39,17 @@ def build_argparser() -> argparse.ArgumentParser:
         "--dtype",
         default="float32",
         choices=["float32", "float16"],
-        help="cache storage dtype; float32 matches pixel-path training to "
-        "f32 ulp, float16 halves the cache size",
+        help="cache STORAGE dtype; float16 halves the cache size",
+    )
+    p.add_argument(
+        "--compute-dtype",
+        default=None,
+        choices=["float32", "bfloat16"],
+        help="VAE COMPUTE dtype for the encode pass. Default: the model "
+        "config's dtype (bfloat16 for the flagship), matching what in-step "
+        "pixel training computes — so cached moments equal pixel-path "
+        "moments at the training config's numerics. bf16 is also ~8x "
+        "faster on the MXU than f32 conv operands.",
     )
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--tiny", action="store_true", help="tiny debug VAE")
@@ -60,7 +69,10 @@ def main(argv=None):
     from ..nn.vae import AutoencoderKL
 
     cfg = TINY_MODEL if args.tiny else ModelConfig()
-    vae = AutoencoderKL(cfg.vae)
+    import jax.numpy as _jnp
+
+    compute_dtype = _jnp.dtype(args.compute_dtype or cfg.dtype)
+    vae = AutoencoderKL(cfg.vae, dtype=compute_dtype)
     hw = min(cfg.vae.sample_size, 64)
     import jax.numpy as jnp
 

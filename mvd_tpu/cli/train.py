@@ -41,6 +41,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="precomputed VAE latent-moment cache "
                    "(cli/precompute_latents.py); train batches skip the "
                    "per-step VAE encode")
+    p.add_argument("--use-ray-conditioning", action="store_true",
+                   help="concat per-pixel Plücker ray maps (target rays in "
+                        "the source frame, computed in-jit from the batch "
+                        "cameras) to the UNet input channels")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     p.add_argument("--debug-nans", action="store_true")
     return p
@@ -76,6 +80,10 @@ def main(argv=None):
     if args.max_steps:
         cfg = dataclasses.replace(cfg, max_steps=args.max_steps)
     cfg = dataclasses.replace(cfg, num_views=args.num_views)
+    if args.use_ray_conditioning:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, use_ray_conditioning=True)
+        )
 
     n_dev = jax.device_count()
     mesh_view = args.mesh_view
@@ -120,10 +128,19 @@ def main(argv=None):
 
     from ..train.loop import Trainer
 
+    # experiment-identity recovery BEFORE the logger is built: the W&B run
+    # id rides in the checkpoint meta, so a resumed run continues the same
+    # W&B run (reference train.py:64-103's run-id-from-ckpt dance)
+    wandb_id = args.wandb_id
+    if args.resume and not wandb_id:
+        from ..checkpoint import peek_checkpoint_meta
+
+        wandb_id = peek_checkpoint_meta(args.resume).get("wandb_run_id")
+
     logger = MetricLogger(
         os.path.join(args.output_dir, "logs"),
         run_name=args.run_name,
-        run_id=args.wandb_id,
+        run_id=wandb_id,
         config={"config": str(cfg)},
     )
     trainer = Trainer(
@@ -134,8 +151,10 @@ def main(argv=None):
         view_sharded=view_sharded,
         output_dir=args.output_dir,
         logger=logger,
+        resume_from=args.resume,
     )
     trainer.fit(resume=bool(args.resume))
+    return trainer
 
 
 if __name__ == "__main__":

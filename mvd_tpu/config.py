@@ -164,6 +164,14 @@ class ModelConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     use_camera_conditioning: bool = True
     use_image_conditioning: bool = True
+    # Per-pixel Plücker ray-map conditioning (BASELINE config 3 / north
+    # star): target-view rays in the source frame, computed in-jit from the
+    # batch's camera tensors and concatenated to the UNet input channels
+    # (camera.py:plucker_ray_map). Extra conv_in channels zero-init from
+    # converted checkpoints (checkpoint/torch_convert.py:zero_pad_conv_in),
+    # so enabling it on pretrained weights is output-preserving at init.
+    use_ray_conditioning: bool = False
+    ray_fov_deg: float = 54.43  # render rig: 35mm lens, 36mm sensor
     # Initialize adapter q/k/v/out from the frozen base attention at
     # construction (reference attention.py:199-245 semantics). Applies to
     # fresh inits only; checkpoint loads overwrite it either way.
@@ -309,6 +317,8 @@ def train_config_from_yaml(path: str) -> TrainConfig:
         scheduler=sched,
         use_camera_conditioning=bool(_get(raw, "use_camera_conditioning", default=True)),
         use_image_conditioning=bool(_get(raw, "use_image_conditioning", default=True)),
+        use_ray_conditioning=bool(_get(raw, "use_ray_conditioning", default=False)),
+        ray_fov_deg=float(_get(raw, "ray_fov_deg", default=54.43)),
         dtype="float32" if str(_get(raw, "precision", default="16")) == "32" else "bfloat16",
     )
     return TrainConfig(

@@ -34,6 +34,7 @@ import logging
 import os
 import threading
 import zipfile
+from collections import OrderedDict
 from glob import glob
 from typing import Dict, List, Optional, Sequence
 
@@ -162,10 +163,21 @@ class LatentCacheReader:
     stacked (mean, logvar). Raises ``FileNotFoundError`` when the zip has no
     cache file (run ``mvd-precompute-latents`` / ``cli.precompute_latents``
     over the corpus first) and ``KeyError`` for a missing view.
+
+    In-memory residency is LRU-bounded at ``max_resident`` zips (default
+    256 ≈ a few hundred MB at 512²/8-view) — an unbounded dict would
+    accumulate the entire decompressed corpus per worker process over an
+    epoch and OOM the host at real corpus scale.
     """
 
-    def __init__(self, cache_dir: str, image_size: Optional[int] = None):
+    def __init__(
+        self,
+        cache_dir: str,
+        image_size: Optional[int] = None,
+        max_resident: int = 256,
+    ):
         self.cache_dir = cache_dir
+        self.max_resident = max(1, max_resident)
         meta = read_meta(cache_dir)
         if meta is None:
             raise FileNotFoundError(
@@ -179,7 +191,7 @@ class LatentCacheReader:
             )
         self.meta = meta
         self._lock = threading.Lock()
-        self._handles: Dict[str, Dict[str, np.ndarray]] = {}
+        self._handles: "OrderedDict[str, Dict[str, np.ndarray]]" = OrderedDict()
 
     def coverage(self, zip_paths: Sequence[str]) -> List[str]:
         """Zip paths with NO cache file (should be empty for a full cache)."""
@@ -198,7 +210,21 @@ class LatentCacheReader:
                     )
                 with np.load(path) as z:
                     self._handles[zp] = {k: z[k] for k in z.files}
+                while len(self._handles) > self.max_resident:
+                    self._handles.popitem(last=False)  # evict LRU
+            else:
+                self._handles.move_to_end(zp)
             return self._handles[zp]
+
+    def view_keys(self, zip_path: str) -> List[str]:
+        """Cached view keys ("000", "001", …) for one zip — reads only the
+        npz central directory (cheap), no array decompression. For setup-time
+        per-view completeness validation."""
+        path = cache_file_for(self.cache_dir, zip_path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no latent cache for {zip_path!r}")
+        with np.load(path) as z:
+            return list(z.files)
 
     def read(self, zip_path: str, view: int) -> np.ndarray:
         data = self._load(zip_path)

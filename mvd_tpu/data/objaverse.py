@@ -154,6 +154,27 @@ class ObjaverseDataset:
                     f"{len(missing)} of the split's zips (e.g. {missing[:3]}) — "
                     "run cli/precompute_latents.py over the corpus first"
                 )
+            # per-view completeness: a stale cache file (zip re-rendered
+            # with more/renumbered views after caching) must fail HERE, not
+            # crash mid-epoch when the pair is first drawn
+            need: Dict[str, set] = {}
+            for p in self.pairs:
+                need.setdefault(p.zip_path, set()).update(
+                    (p.source_view, p.target_view)
+                )
+            stale = []
+            for zp, views in sorted(need.items()):
+                keys = set(self.latent_cache.view_keys(zp))
+                wanted = {f"{v:03d}" for v in views}
+                if not wanted <= keys:
+                    stale.append((zp, sorted(wanted - keys)))
+            if stale:
+                raise ValueError(
+                    f"latent cache at {self.latent_cache_dir!r} is STALE for "
+                    f"{len(stale)} zips (e.g. {stale[0][0]} lacks views "
+                    f"{stale[0][1][:4]}) — re-run cli/precompute_latents.py "
+                    "with --overwrite"
+                )
 
     def _split_dataset(self):
         assert self.val_split + self.test_split < 1.0
@@ -318,6 +339,8 @@ class ObjaverseDataset:
                 logger.warning("dropping unreadable zip %s: %s", pair.zip_path, e)
                 with self._zip_lock:
                     self._zip_handles.pop(pair.zip_path, None)
+                if self.latent_cache is not None:
+                    self.latent_cache.evict(pair.zip_path)
                 self.pairs = [p for p in self.pairs if p.zip_path != pair.zip_path]
             except Exception as e:
                 logger.warning(
@@ -532,6 +555,14 @@ class ObjaverseDataModule:
 
     def setup(self):
         cls = self._dataset_cls()
+        if self.latent_cache_dir and cls is not ObjaverseDataset:
+            # dropping the cache silently would re-enable full per-step VAE
+            # encoding with no indication why training got slower
+            raise ValueError(
+                f"latent_cache_dir is set but dataset_format="
+                f"{self.dataset_format!r} does not support a latent cache "
+                "(only the objaverse rendered-zip format does); unset one"
+            )
         for split in ("train", "val", "test"):
             kw = dict(self.kwargs)
             if split == "train" and self.latent_cache_dir and cls is ObjaverseDataset:

@@ -73,8 +73,19 @@ class MultiViewUNet(nn.Module):
             if self.share_image_encoder
             else self.image_encoder_unet
         )
+        rays = None
+        if self.cfg.use_ray_conditioning:
+            # the source view's own rays in its own frame == the canonical
+            # grid (identity relative transform: d = d_cam, moment = 0) —
+            # keeps conv_in at one channel count across both UNet passes
+            from ..camera import ray_grid
+
+            B, h, w, _ = source_latents.shape
+            d = ray_grid(h, w, self.cfg.ray_fov_deg)
+            rays = jnp.concatenate([d, jnp.zeros_like(d)], axis=-1)
+            rays = jnp.broadcast_to(rays[None], (B, h, w, 6))
         t0 = jnp.zeros((source_latents.shape[0],), jnp.int32)
-        _, feats = enc(source_latents, t0, encoder_hidden_states)
+        _, feats = enc(source_latents, t0, encoder_hidden_states, ray_map=rays)
         return feats
 
     def _precompute_adapter_kv(self, name: str, feat: jnp.ndarray):
@@ -110,6 +121,8 @@ class MultiViewUNet(nn.Module):
         cfg_batch: Optional[int] = None,  # B* (2B under CFG); None -> cond batch
         precompute_kv: bool = False,  # True in the sampling pipeline; False at
         # init/training so the adapter K/V params are created by tracing
+        latent_hw: Optional[Tuple[int, int]] = None,  # ray-map spatial dims;
+        # default: source latents' spatial, else cfg.unet.sample_size
     ):
         """Compute all step-invariant conditioning ONCE: FiLM params from the
         cameras and normalized per-layer reference features from the source
@@ -129,6 +142,31 @@ class MultiViewUNet(nn.Module):
                     k: (jnp.concatenate([s] * rep, 0), jnp.concatenate([sh] * rep, 0))
                     for k, (s, sh) in film.items()
                 }
+        if cfg.use_ray_conditioning:
+            # Plücker ray map of the target view in the source frame,
+            # computed in-jit from the camera tensors (BASELINE config 3);
+            # rides the film dict under a reserved key so every existing
+            # denoise plumbing path (scan carry, shard_map specs, CFG
+            # tiling) carries it for free. ``denoise`` pops it and concats
+            # to the sample channels before conv_in.
+            assert source_camera is not None and target_camera is not None, (
+                "use_ray_conditioning requires source/target cameras"
+            )
+            from ..camera import plucker_ray_map
+
+            if latent_hw is None:
+                if source_image_latents is not None:
+                    latent_hw = source_image_latents.shape[1:3]
+                else:
+                    latent_hw = (cfg.unet.sample_size, cfg.unet.sample_size)
+            rays = plucker_ray_map(
+                source_camera, target_camera, latent_hw[0], latent_hw[1],
+                cfg.ray_fov_deg,
+            )
+            if cfg_batch is not None and rays.shape[0] < cfg_batch:
+                rays = jnp.concatenate([rays] * (cfg_batch // rays.shape[0]), 0)
+            film = dict(film or {})
+            film["ray_map"] = rays
 
         ref_features = None
         if cfg.use_image_conditioning and source_image_latents is not None:
@@ -172,6 +210,15 @@ class MultiViewUNet(nn.Module):
         if encoder_hidden_states.shape[0] < Bs:  # CFG text repeat
             rep = Bs // encoder_hidden_states.shape[0]
             encoder_hidden_states = jnp.concatenate([encoder_hidden_states] * rep, 0)
+        rays = None
+        if film is not None and "ray_map" in film:
+            # ray-map conditioning rides the film dict (prepare_conditioning)
+            # so every plumbing path (scan carry, shard_map specs, CFG
+            # tiling) carries it for free; the UNet concats it to the input
+            # channels after the "output" FiLM
+            film = dict(film)
+            rays = film.pop("ray_map")
+            film = film or None
         out = self.unet(
             sample,
             timestep,
@@ -181,6 +228,7 @@ class MultiViewUNet(nn.Module):
             ref_scale=ref_scale,
             cached_encoder=cached_encoder,
             return_encoder_cache=return_encoder_cache,
+            ray_map=rays,
         )
         if return_encoder_cache:
             return out[0], out[2]

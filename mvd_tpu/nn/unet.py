@@ -97,6 +97,7 @@ class UNet2DCondition(nn.Module):
         ref_scale: Optional[jnp.ndarray] = None,
         cached_encoder: Optional[Tuple] = None,
         return_encoder_cache: bool = False,
+        ray_map: Optional[jnp.ndarray] = None,  # (B, h, w, 6) Plücker rays
     ):
         """Full UNet forward, or a decoder-only forward from a cached
         encoder state.
@@ -169,6 +170,15 @@ class UNet2DCondition(nn.Module):
             residuals, h = list(cached_encoder[0]), cached_encoder[1]
         else:
             sample = apply_film(sample, film, "output")
+            if ray_map is not None:
+                # Plücker ray-map conditioning (camera.py:plucker_ray_map):
+                # 6 extra input channels AFTER the "output" FiLM (which
+                # modulates only the 4 latent channels). conv_in's extra
+                # input rows zero-init from converted checkpoints
+                # (checkpoint/torch_convert.py:zero_pad_conv_in).
+                sample = jnp.concatenate(
+                    [sample, ray_map.astype(sample.dtype)], axis=-1
+                )
             sample = sample.astype(self.dtype)
 
             h = nn.Conv(

@@ -15,6 +15,8 @@ LightningModule + train.py's Trainer wiring:
 
 from __future__ import annotations
 
+import logging
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -25,6 +27,9 @@ import numpy as np
 from ..config import TrainConfig
 from ..metrics.image import psnr, ssim
 from ..utils import MetricLogger, create_output_dirs, save_image, side_by_side
+from ..utils.logging import reuse_output_dirs
+
+logger = logging.getLogger(__name__)
 from .state import TrainState, count_params, make_optimizer, trainable_mask
 from .step import make_eval_fn, make_train_step
 
@@ -52,6 +57,7 @@ class Trainer:
         logger: Optional[MetricLogger] = None,
         max_duration_hours: float = 147.0,
         image_metric_fns: Optional[Dict[str, Any]] = None,
+        resume_from: Optional[str] = None,
     ):
         self.cfg = cfg
         self.pipe = pipe
@@ -60,7 +66,20 @@ class Trainer:
         self.view_sharded = view_sharded
         if view_sharded and pipe.mesh is None:
             pipe.mesh = mesh  # route validation generation through shard_map
-        self.dirs = create_output_dirs(output_dir or cfg.output_dir)
+        # --resume DIR re-enters the given run dir and points the checkpoint
+        # manager there, so the restored step is actually found and the
+        # resubmitted job keeps appending to the same run (reference
+        # train.py:205-209 Trainer.fit(ckpt_path=...) semantics; the r2 bug
+        # was minting a fresh timestamped dir here and restoring from it)
+        self.resume_from = resume_from
+        self._resume_step: Optional[int] = None
+        if resume_from:
+            from ..checkpoint import resolve_resume_path
+
+            ckpt_dir, self._resume_step = resolve_resume_path(resume_from)
+            self.dirs = reuse_output_dirs(os.path.dirname(ckpt_dir))
+        else:
+            self.dirs = create_output_dirs(output_dir or cfg.output_dir)
         self.logger = logger or MetricLogger(self.dirs["logs"], config={"cfg": str(cfg)})
         self.max_duration_s = max_duration_hours * 3600
 
@@ -134,6 +153,15 @@ class Trainer:
         state, meta = self.ckpt.restore(self.state, step)
         if state is None:
             return False
+        if self.mesh is not None:
+            # orbax restores arrays COMMITTED to one device; the train step's
+            # batch is sharded over the mesh, and jit refuses to mix a
+            # committed single-device input with mesh-sharded ones — so
+            # replicate the restored state over the mesh explicitly (same
+            # placement a fresh init reaches implicitly)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            state = jax.device_put(state, NamedSharding(self.mesh, PartitionSpec()))
         self.state = state
         if meta and meta.get("dataset_state"):
             self.dm.load_state_dict(meta["dataset_state"])
@@ -145,13 +173,30 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, resume: bool = False):
-        if resume:
-            self.resume()
+        if resume or self.resume_from:
+            restored = self.resume(self._resume_step)
+            if not restored and self.resume_from:
+                # a requested resume that finds no checkpoint must be LOUD:
+                # the elastic chain (scripts/auto_train.sh) depends on this
+                # path actually continuing the run, not restarting it
+                logger.error(
+                    "--resume %s requested but no checkpoint found under %s; "
+                    "training starts from step 0 IN THAT RUN DIR",
+                    self.resume_from,
+                    self.dirs["checkpoints"],
+                )
+            elif restored:
+                logger.info(
+                    "resumed from step %d (%s)",
+                    int(self.state.step),
+                    self.dirs["checkpoints"],
+                )
         rng = jax.random.PRNGKey(self.cfg.seed)
         start = time.time()
         step = int(self.state.step)
         last_val: Dict[str, float] = {}
-        stop = False
+        # a resume that already hit max_steps must not take extra steps
+        stop = bool(self.cfg.max_steps and step >= self.cfg.max_steps)
         # fractional val_check_interval validates mid-epoch
         # (reference train.py:197 semantics)
         steps_per_epoch = max(1, len(self.train_loader))
@@ -230,6 +275,7 @@ class Trainer:
             max(step, 1),
             self.state,
             dataset_state=self.dm.state_dict(),
+            extra={"wandb_run_id": self.logger.run_id},
             metrics=last_val or None,
             force=True,
         )

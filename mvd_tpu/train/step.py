@@ -164,9 +164,12 @@ def make_loss_fn(
     ``source_repeat`` = how many consecutive flat rows share one source view
     (the group loader's (B, V) layout flattens group-major,
     data/objaverse.py:_load_group): the source encoder then runs over the
-    UNIQUE rows only and the posterior moments are tiled back — bit-identical
-    to the naive path (same eps shape/key; the pipeline's moment-tiling
-    trick, pipeline.py:_encode_source, applied to training).
+    UNIQUE rows only and the posterior moments are tiled back — numerically
+    equal to the naive path: the sampling eps is drawn with the same key and
+    shape, and the moments match to f32 ulp (the encoder runs at batch N/V
+    vs N, so XLA fuses differently; test_unique_source_encode_parity pins
+    rtol=1e-6). The pipeline's moment-tiling trick
+    (pipeline.py:_encode_source) applied to training.
 
     Batches may carry pixels ({source,target}_image) or cached latent
     posterior moments ({source,target}_moments, data/latent_cache.py) — the

@@ -34,6 +34,20 @@ def create_output_dirs(base: str = "outputs") -> Dict[str, str]:
     return dirs
 
 
+def reuse_output_dirs(root: str) -> Dict[str, str]:
+    """Re-enter an existing timestamped run dir (elastic resume: the
+    resubmitted job keeps writing checkpoints/comparisons/logs into the SAME
+    run instead of minting a fresh one — reference train.py:205-209 resumes
+    into the ckpt's run)."""
+    root = os.path.abspath(root)
+    dirs = {"root": root}
+    for sub in ("checkpoints", "comparisons", "samples", "logs"):
+        d = os.path.join(root, sub)
+        os.makedirs(d, exist_ok=True)
+        dirs[sub] = d
+    return dirs
+
+
 def log_debug(path: Optional[str], msg: str) -> None:
     """Append-only timestamped debug tracer (reference utils.py:25-34)."""
     if not path:

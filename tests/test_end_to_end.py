@@ -71,12 +71,59 @@ def test_trainer_fit_and_resume(corpus, tmp_path):
         assert np.isfinite(rec["train/ssim_value"])
     tr.ckpt.wait()
 
-    # resume restores step
+    # resume restores step THROUGH THE DIRECTORY PATH a real resubmit takes
+    # (a fresh Trainer pointed at the prior run dir — the r2 test reused the
+    # first trainer's manager object, which masked the CLI resume bug)
+    run_root = tr.dirs["root"]
     pipe2 = MVDPipeline.create(TINY_MODEL, jax.random.PRNGKey(1))
-    tr2 = Trainer(cfg, pipe2, dm, output_dir=out_dir)
-    tr2.ckpt = tr.ckpt  # same manager/dir
+    tr2 = Trainer(cfg, pipe2, dm, output_dir=out_dir, resume_from=run_root)
+    assert tr2.dirs["root"] == run_root  # re-entered the SAME run dir
     assert tr2.resume()
     assert int(tr2.state.step) == 3
+    # params actually came from disk, not from pipe2's fresh init
+    leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+    leaf2 = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(leaf2))
+
+
+def test_cli_resume_chain(corpus, tmp_path):
+    """auto_train.sh-shaped elastic resume: run the CLI, then rerun it with
+    --resume $(latest run dir) and assert step/run-dir/W&B-id continuity
+    (reference train.py:205-209, 240-245 + auto_train.sh:68-113)."""
+    from mvd_tpu.cli.train import main
+
+    out = str(tmp_path / "outputs")
+    common = [
+        "--tiny", "--dataset-path", corpus, "--output-dir", out,
+        "--batch-size", "2",
+    ]
+    tr1 = main(common + ["--max-steps", "2", "--wandb-id", "run-abc123"])
+    assert int(tr1.state.step) == 2
+    tr1.ckpt.close()
+
+    # what auto_train.sh's latest_run_dir() glob produces
+    candidates = sorted(glob.glob(os.path.join(out, "*", "checkpoints")))
+    assert len(candidates) == 1
+    latest = candidates[0]
+
+    tr2 = main(common + ["--max-steps", "4", "--resume", latest])
+    # continued in the SAME run dir, from the restored step, to step 4
+    assert tr2.dirs["root"] == tr1.dirs["root"]
+    assert int(tr2.state.step) == 4
+    # W&B run identity recovered from the checkpoint meta
+    assert tr2.logger.run_id == "run-abc123"
+    # the later checkpoint landed in the original run dir
+    assert tr2.ckpt.latest_step() == 4
+    tr2.ckpt.close()
+    # still exactly one run dir — no fresh timestamped dir was minted
+    assert len(glob.glob(os.path.join(out, "*", "checkpoints"))) == 1
+
+
+def test_resume_missing_path_raises(corpus, tmp_path):
+    from mvd_tpu.checkpoint import resolve_resume_path
+
+    with pytest.raises(FileNotFoundError):
+        resolve_resume_path(str(tmp_path / "no_such_run"))
 
 
 def test_val_harness_csvs(corpus, tmp_path):
