@@ -57,6 +57,53 @@ def bench_attention():
             print(f"  q{Sq}xk{Sk} h{H}: pallas n/a | xla {t_x:.3f} ms")
 
 
+def bench_ring_hop():
+    """Per-hop cost of the view-sharded ring attention at north-star LOCAL
+    sequence lengths (kernels/ring_attention.py): the hop is the packed
+    flash (out, lse) forward — O(block) memory, so it must run at any
+    S_local without the old einsum hop's (S_local², f32) logits (340 MB at
+    9216). One real chip can't host a >1-device ring, so this measures the
+    per-hop kernel the ring schedules; ring cost ≈ n_hops × hop (ppermute
+    overlaps compute over ICI).
+
+    Shapes: 8-view 768² joint attention = 73728 global tokens; sharded
+    8-way -> 9216 local, 2-way -> 36864 local.
+    """
+    from mvd_tpu.kernels.flash_attention import _flash_bwd, _flash_fwd_packed
+
+    print("== ring attention per-hop (packed flash out+lse, level-0 heads) ==")
+    for B, H, S, D in [(1, 5, 9216, 64), (2, 5, 9216, 64), (1, 5, 36864, 64)]:
+        key = jax.random.PRNGKey(0)
+        HD = H * D
+        q = jax.random.normal(key, (B, S, HD), jnp.bfloat16)
+        k = jax.random.normal(key, (B, S, HD), jnp.bfloat16)
+        v = jax.random.normal(key, (B, S, HD), jnp.bfloat16)
+        scale = 1.0 / (D ** 0.5)
+        fwd = jax.jit(
+            lambda q, k, v: _flash_fwd_packed(
+                q, k, v, H, scale, 512, 1024, S, False
+            )[0]
+        )
+        t_f = sync_time(fwd, q, k, v)
+        # hop backward: flash bwd kernels with the (global) lse
+        tr = lambda t: t.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+
+        def bwd(q, kk, vv):
+            out, lse = _flash_fwd_packed(q, kk, vv, H, scale, 512, 1024, S, False)
+            dq, dk, dv = _flash_bwd(
+                scale, 512, 1024, False,
+                (tr(q), tr(kk), tr(vv), tr(out), lse.transpose(0, 2, 1)),
+                tr(out),
+            )
+            return dq
+        t_b = sync_time(jax.jit(bwd), q, k, v)
+        tf = 4 * B * H * S * S * D / (t_f / 1e3) / 1e12
+        print(
+            f"  B{B} S_local={S}: hop fwd {t_f:.2f} ms ({tf:.1f} TF/s) | "
+            f"hop fwd+bwd {t_b:.2f} ms"
+        )
+
+
 def bench_groupnorm():
     from mvd_tpu.kernels.groupnorm_silu import groupnorm_silu, xla_groupnorm_silu
 
@@ -106,5 +153,6 @@ def bench_denoise():
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     bench_attention()
+    bench_ring_hop()
     bench_groupnorm()
     bench_denoise()

@@ -258,12 +258,18 @@ class Attention(nn.Module):
                 V = V // lax.psum(1, self.view_axis)  # local views per shard
             nb = B // V
             if self.view_axis is not None:
-                # ring collective wants explicit (B,H,S,D) shards
-                split = lambda t, s: t.reshape(nb, V * s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-                from ..kernels.ring_attention import ring_attention
+                # packed (B, V_local*S, H*D) shards straight into the ring —
+                # same zero-head-transpose rule as the unsharded sites (the
+                # old (B,H,S,D) split cost a copy pair at every sharded
+                # attention site)
+                from ..kernels.ring_attention import ring_attention_packed
 
-                out = ring_attention(split(q, S), split(k, Sk), split(v, Sk), axis_name=self.view_axis)
-                out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+                merge = lambda t, s: t.reshape(nb, V * s, inner)
+                out = ring_attention_packed(
+                    merge(q, S), merge(k, Sk), merge(v, Sk), self.heads,
+                    axis_name=self.view_axis, impl=self.attention_impl,
+                )
+                out = out.reshape(B, S, inner)
             else:
                 # merging the view axis into the sequence is a FREE reshape in
                 # the packed (B*V, S, H*D) layout — no head transposes

@@ -360,12 +360,13 @@ class TUNet(tnn.Module):
     whole convert_unet_state_dict translation + skip ordering + timestep
     embedding path is exercised end-to-end."""
 
-    def __init__(self, cfg, ctx_dim):
+    def __init__(self, cfg, ctx_dim, with_adapters=False):
         super().__init__()
         ch = cfg.block_out_channels
         g = cfg.norm_num_groups
         temb_ch = ch[0] * 4
         self.cfg = cfg
+        self.with_adapters = with_adapters
         self.conv_in = tnn.Conv2d(cfg.in_channels, ch[0], 3, padding=1)
         self.time_embedding = tnn.Module()
         self.time_embedding.linear_1 = tnn.Linear(ch[0], temb_ch)
@@ -385,7 +386,8 @@ class TUNet(tnn.Module):
                 cur = ch[i]
                 if has_attn:
                     blk.attentions.append(
-                        TTransformer2D(ch[i], ctx_dim, cfg.num_attention_heads[i], groups=g)
+                        TTransformer2D(ch[i], ctx_dim, cfg.num_attention_heads[i],
+                                       with_adapters, groups=g)
                     )
                 skip_ch.append(cur)
             if i < len(cfg.down_block_types) - 1:
@@ -400,7 +402,8 @@ class TUNet(tnn.Module):
             [TResnetBlock(cur, ch[-1], temb_ch, g), TResnetBlock(ch[-1], ch[-1], temb_ch, g)]
         )
         self.mid_block.attentions = tnn.ModuleList(
-            [TTransformer2D(ch[-1], ctx_dim, cfg.num_attention_heads[-1], groups=g)]
+            [TTransformer2D(ch[-1], ctx_dim, cfg.num_attention_heads[-1],
+                            with_adapters, groups=g)]
         )
         cur = ch[-1]
 
@@ -419,7 +422,8 @@ class TUNet(tnn.Module):
                 cur = rev[i]
                 if has_attn:
                     blk.attentions.append(
-                        TTransformer2D(rev[i], ctx_dim, cfg.num_attention_heads[ai], groups=g)
+                        TTransformer2D(rev[i], ctx_dim, cfg.num_attention_heads[ai],
+                                       with_adapters, groups=g)
                     )
             if i < len(cfg.up_block_types) - 1:
                 us = tnn.Module()
@@ -430,33 +434,53 @@ class TUNet(tnn.Module):
         self.conv_norm_out = tnn.GroupNorm(g, ch[0], eps=cfg.norm_eps)
         self.conv_out = tnn.Conv2d(ch[0], cfg.out_channels, 3, padding=1)
 
-    def forward(self, x, t, ctx):
+    def forward(self, x, t, ctx, refs=None, ref_scale=0.0, film=None):
+        """refs: {feature_name: (B, S, C)} adapter reference features;
+        film: {name: (scale (B,C), shift (B,C))} applied at the SAME points
+        as mvd_tpu/nn/unet.py (input "output", post-block down_i/mid/up_i)."""
+        refs = refs or {}
+
+        def fl(h, name):
+            if film and name in film:
+                s, sh = film[name]
+                return h * s[:, :, None, None] + sh[:, :, None, None]
+            return h
+
         temb = self.time_embedding.linear_2(
             F.silu(self.time_embedding.linear_1(t_timestep_embedding(t, self.cfg.block_out_channels[0])))
         )
-        h = self.conv_in(x)
+        h = self.conv_in(fl(x, "output"))
         skips = [h]
         for i, blk in enumerate(self.down_blocks):
             for j, rn in enumerate(blk.resnets):
                 h = rn(h, temb)
                 if hasattr(blk, "attentions"):
-                    h = blk.attentions[j](h, ctx)
+                    h = blk.attentions[j](
+                        h, ctx, refs.get(f"down_block_{i}_attn_{j}"), ref_scale
+                    )
                 skips.append(h)
             if hasattr(blk, "downsamplers"):
                 h = blk.downsamplers[0].conv(h)
                 skips.append(h)
+            h = fl(h, f"down_{i}")
         h = self.mid_block.resnets[0](h, temb)
-        h = self.mid_block.attentions[0](h, ctx)
+        h = self.mid_block.attentions[0](
+            h, ctx, refs.get("mid_block_attn_0"), ref_scale
+        )
         h = self.mid_block.resnets[1](h, temb)
+        h = fl(h, "mid")
         for i, blk in enumerate(self.up_blocks):
             for j, rn in enumerate(blk.resnets):
                 h = torch.cat([h, skips.pop()], dim=1)
                 h = rn(h, temb)
                 if hasattr(blk, "attentions"):
-                    h = blk.attentions[j](h, ctx)
+                    h = blk.attentions[j](
+                        h, ctx, refs.get(f"up_block_{i}_attn_{j}"), ref_scale
+                    )
             if hasattr(blk, "upsamplers"):
                 h = F.interpolate(h, scale_factor=2, mode="nearest")
                 h = blk.upsamplers[0].conv(h)
+            h = fl(h, f"up_{i}")
         h = F.silu(self.conv_norm_out(h))
         return self.conv_out(h)
 
