@@ -63,6 +63,7 @@ class Encoder(nn.Module):
                 h = ResnetBlock(
                     out_channels=out_ch,
                     norm_num_groups=cfg.norm_num_groups,
+                    norm_eps=1e-6,
                     use_temb=False,
                     dtype=self.dtype,
                     name=f"down_{i}_resnet_{j}",
@@ -74,12 +75,12 @@ class Encoder(nn.Module):
         # mid
         ch = cfg.block_out_channels[-1]
         h = ResnetBlock(
-            out_channels=ch, norm_num_groups=cfg.norm_num_groups, use_temb=False,
+            out_channels=ch, norm_num_groups=cfg.norm_num_groups, norm_eps=1e-6, use_temb=False,
             dtype=self.dtype, name="mid_resnet_0",
         )(h)
         h = VAEAttention(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock(
-            out_channels=ch, norm_num_groups=cfg.norm_num_groups, use_temb=False,
+            out_channels=ch, norm_num_groups=cfg.norm_num_groups, norm_eps=1e-6, use_temb=False,
             dtype=self.dtype, name="mid_resnet_1",
         )(h)
         h = GroupNorm(cfg.norm_num_groups, 1e-6, fuse_silu=True, name="conv_norm_out")(h)
@@ -100,12 +101,12 @@ class Decoder(nn.Module):
         h = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         # mid
         h = ResnetBlock(
-            out_channels=rev[0], norm_num_groups=cfg.norm_num_groups, use_temb=False,
+            out_channels=rev[0], norm_num_groups=cfg.norm_num_groups, norm_eps=1e-6, use_temb=False,
             dtype=self.dtype, name="mid_resnet_0",
         )(h)
         h = VAEAttention(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock(
-            out_channels=rev[0], norm_num_groups=cfg.norm_num_groups, use_temb=False,
+            out_channels=rev[0], norm_num_groups=cfg.norm_num_groups, norm_eps=1e-6, use_temb=False,
             dtype=self.dtype, name="mid_resnet_1",
         )(h)
         for i, out_ch in enumerate(rev):
@@ -113,6 +114,7 @@ class Decoder(nn.Module):
                 h = ResnetBlock(
                     out_channels=out_ch,
                     norm_num_groups=cfg.norm_num_groups,
+                    norm_eps=1e-6,
                     use_temb=False,
                     dtype=self.dtype,
                     name=f"up_{i}_resnet_{j}",

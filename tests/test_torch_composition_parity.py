@@ -189,7 +189,7 @@ class TVAEEncoder(tnn.Module):
         self.mid_block.resnets = tnn.ModuleList(
             [TVAEResnet(cur, ch[-1], g), TVAEResnet(ch[-1], ch[-1], g)]
         )
-        self.mid_block.attentions = tnn.ModuleList([TVAEAttention(ch[-1])])
+        self.mid_block.attentions = tnn.ModuleList([TVAEAttention(ch[-1], g)])
         self.conv_norm_out = tnn.GroupNorm(g, ch[-1], eps=1e-6)
         self.conv_out = tnn.Conv2d(ch[-1], 2 * cfg.latent_channels, 3, padding=1)
 
@@ -216,7 +216,7 @@ class TVAEDecoder(tnn.Module):
         self.mid_block.resnets = tnn.ModuleList(
             [TVAEResnet(rev[0], rev[0], g), TVAEResnet(rev[0], rev[0], g)]
         )
-        self.mid_block.attentions = tnn.ModuleList([TVAEAttention(rev[0])])
+        self.mid_block.attentions = tnn.ModuleList([TVAEAttention(rev[0], g)])
         self.up_blocks = tnn.ModuleList()
         cur = rev[0]
         for i, out_ch in enumerate(rev):

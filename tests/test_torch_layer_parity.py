@@ -192,9 +192,9 @@ class TTransformer2D(tnn.Module):
 class TVAEAttention(tnn.Module):
     """diffusers VAE mid-block Attention: single head, head_dim=C."""
 
-    def __init__(self, dim):
+    def __init__(self, dim, groups=32):
         super().__init__()
-        self.group_norm = tnn.GroupNorm(32, dim, eps=1e-6)
+        self.group_norm = tnn.GroupNorm(groups, dim, eps=1e-6)
         self.to_q = tnn.Linear(dim, dim)
         self.to_k = tnn.Linear(dim, dim)
         self.to_v = tnn.Linear(dim, dim)
