@@ -45,6 +45,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "— ~10 steps where DDIM needs 20-50)",
     )
     p.add_argument(
+        "--use-ray-conditioning", action="store_true",
+        help="sample a model trained with Plücker ray-map conditioning "
+        "(extra conv_in channels; zero-padded when loading a converted "
+        "checkpoint trained without them)",
+    )
+    p.add_argument(
         "--invert-init", action="store_true",
         help="initialize generation from the DDIM inversion of the source "
         "image (under the source camera) instead of random noise — "
@@ -75,6 +81,8 @@ def main(argv=None):
     if not args.tiny:
         unet = dataclasses.replace(cfg.unet, sample_size=args.image_size // 8, remat=False)
         cfg = dataclasses.replace(cfg, unet=unet)
+    if args.use_ray_conditioning:
+        cfg = dataclasses.replace(cfg, use_ray_conditioning=True)
 
     pipe = MVDPipeline.create(cfg, jax.random.PRNGKey(args.seed))
     if args.checkpoint:
@@ -82,6 +90,18 @@ def main(argv=None):
             from ..checkpoint import convert_lightning_checkpoint
 
             mvd_params, skipped = convert_lightning_checkpoint(args.checkpoint)
+            if args.use_ray_conditioning:
+                # converted reference checkpoints have a 4-channel conv_in;
+                # zero-pad the 6 ray rows (output-preserving at load)
+                from ..checkpoint import zero_pad_conv_in
+
+                inner = dict(mvd_params["params"])
+                inner["unet"] = zero_pad_conv_in(inner["unet"])
+                if "image_encoder_unet" in inner:
+                    inner["image_encoder_unet"] = zero_pad_conv_in(
+                        inner["image_encoder_unet"]
+                    )
+                mvd_params = {**mvd_params, "params": inner}
             pipe.params = {**pipe.params, "mvd": mvd_params}
             if skipped:
                 print(f"converter skipped {len(skipped)} dead reference params")
