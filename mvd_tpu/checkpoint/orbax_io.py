@@ -9,12 +9,15 @@ save_last=True, every 1000 steps) and the DataModule state persistence
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
 
 
 class CheckpointManager:
@@ -59,6 +62,19 @@ class CheckpointManager:
             meta["dataset_state"] = dataset_state
         if meta:
             payload["meta"] = ocp.args.JsonSave(meta)
+        if step in self._mgr.all_steps():
+            # A resumed-from-an-earlier-step run re-reaches steps that are
+            # already on disk from the pre-resume trajectory; orbax raises
+            # StepAlreadyExistsError even with force=True, so drop the stale
+            # step and write the new trajectory's version (callers that want
+            # to keep an identical existing step skip save() instead —
+            # Trainer.fit's final save does).
+            logger.warning(
+                "checkpoint step %d already exists under %s; replacing it "
+                "(resumed run diverged from the old trajectory)",
+                step, self.directory,
+            )
+            self._mgr.delete(step)
         saved = self._mgr.save(
             step,
             args=ocp.args.Composite(**payload),
@@ -83,13 +99,20 @@ class CheckpointManager:
             "params": state_template.params,
             "opt_state": state_template.opt_state,
         }
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(target),
-                meta=ocp.args.JsonRestore(),
-            ),
-        )
+        try:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(target),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+        except KeyError:
+            # checkpoint saved without a meta item (no dataset_state/extra)
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore(target)),
+            )
         st = restored["state"]
         meta = restored.get("meta") or {}
         new_state = state_template.replace(
@@ -127,7 +150,19 @@ def resolve_resume_path(path: str):
     sub = os.path.join(p, "checkpoints")
     if os.path.isdir(sub):
         return sub, None
-    return p, None
+    # The path itself must LOOK like a checkpoints dir (named "checkpoints"
+    # or holding numeric orbax step dirs). Accepting any existing directory
+    # here would root the resumed run at its PARENT and silently train from
+    # step 0 somewhere unexpected — the silent-fresh-run failure mode the
+    # FileNotFoundError above exists to prevent.
+    if base == "checkpoints" or any(
+        e.isdigit() and os.path.isdir(os.path.join(p, e)) for e in os.listdir(p)
+    ):
+        return p, None
+    raise FileNotFoundError(
+        f"--resume path {path} is neither a run dir (no checkpoints/ "
+        "subdir), a checkpoints dir (no numeric step dirs), nor a step dir"
+    )
 
 
 def peek_checkpoint_meta(path: str, step: Optional[int] = None) -> Dict[str, Any]:
@@ -146,7 +181,10 @@ def peek_checkpoint_meta(path: str, step: Optional[int] = None) -> Dict[str, Any
             step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
         )
         return dict(restored.get("meta") or {})
-    except Exception:
+    except Exception as e:
+        # A failed meta read means e.g. the W&B run-identity recovery
+        # silently mints a new run — at least say why it failed.
+        logger.warning("could not read checkpoint meta under %s: %s", path, e)
         return {}
     finally:
         mgr.close()

@@ -107,6 +107,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         dtype=args.dtype,
         overwrite=args.overwrite,
+        compute_dtype=str(compute_dtype),
     )
     print(
         f"latent cache at {out}: {stats['zips']} zips encoded "

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import logging
 import os
 
 import jax
@@ -111,6 +112,28 @@ def main(argv=None):
     # x num_gpus 4 = 24 global); the global batch fed to the loader is
     # therefore always divisible by the mesh's data axis.
     global_batch = cfg.batch_size * mesh_data
+    latent_cache_dir = args.latent_cache_dir or data_cfg.latent_cache_dir
+    if latent_cache_dir:
+        # The cache must have been ENCODED at this config's compute numerics
+        # — bf16 vs f32 moments differ by encode error, and training would
+        # silently mix them with the pixel path's statistics otherwise.
+        from ..data.latent_cache import read_meta
+
+        cache_meta = read_meta(latent_cache_dir) or {}
+        cache_cd = cache_meta.get("compute_dtype")
+        if cache_cd and cache_cd != cfg.model.dtype:
+            raise SystemExit(
+                f"latent cache at {latent_cache_dir!r} was encoded at "
+                f"compute_dtype={cache_cd} but the model config computes in "
+                f"{cfg.model.dtype}; rebuild the cache (mvd-precompute-latents "
+                f"--compute-dtype {cfg.model.dtype}) or change model dtype"
+            )
+        if cache_meta and not cache_cd:
+            logging.getLogger(__name__).warning(
+                "latent cache at %s predates compute_dtype tracking; cannot "
+                "verify its encoder numerics match model dtype %s",
+                latent_cache_dir, cfg.model.dtype,
+            )
     dm = ObjaverseDataModule(
         dataset_path,
         pipe.tokenizer,
@@ -122,7 +145,7 @@ def main(argv=None):
         views_per_sample=max(1, args.num_views),
         seed=cfg.seed,
         dataset_format=args.dataset_format or data_cfg.dataset_format,
-        latent_cache_dir=args.latent_cache_dir or data_cfg.latent_cache_dir,
+        latent_cache_dir=latent_cache_dir,
     )
     dm.setup()
 

@@ -20,7 +20,10 @@ differently per batch shape); tests/test_latent_cache.py pins the bound.
 
 Cache layout::
 
-    <cache_dir>/meta.json                        {"image_size": N, "dtype": …}
+    <cache_dir>/meta.json                        {"image_size": N, "dtype": …,
+                                                  "compute_dtype": encoder
+                                                  numerics, "views": {basename:
+                                                  [view keys]}}
     <cache_dir>/<zip_basename>.npz               keys "000", "001", … each
                                                  (2, H/8, W/8, 4) stacked
                                                  (mean, logvar)
@@ -59,10 +62,28 @@ def _list_views(zf: zipfile.ZipFile) -> List[int]:
     return sorted(set(views))
 
 
-def write_meta(cache_dir: str, image_size: int, dtype: str):
+def write_meta(
+    cache_dir: str,
+    image_size: int,
+    dtype: str,
+    compute_dtype: Optional[str] = None,
+    views: Optional[Dict[str, List[str]]] = None,
+):
+    """``compute_dtype`` records the ENCODER's numerics (bf16 moments differ
+    from f32 ones by encode error — caches with different compute dtypes
+    must not mix); ``views`` maps npz basename -> cached view keys so
+    setup-time completeness validation is one JSON read instead of an npz
+    open per corpus zip."""
     os.makedirs(cache_dir, exist_ok=True)
-    with open(os.path.join(cache_dir, META_NAME), "w") as f:
-        json.dump({"image_size": image_size, "dtype": dtype, "version": 1}, f)
+    meta: Dict = {"image_size": image_size, "dtype": dtype, "version": 2}
+    if compute_dtype is not None:
+        meta["compute_dtype"] = compute_dtype
+    if views is not None:
+        meta["views"] = views
+    tmp = os.path.join(cache_dir, META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(cache_dir, META_NAME))
 
 
 def read_meta(cache_dir: str) -> Optional[Dict]:
@@ -82,11 +103,17 @@ def precompute_latent_cache(
     batch_size: int = 8,
     dtype: str = "float32",
     overwrite: bool = False,
+    compute_dtype: Optional[str] = None,
 ) -> Dict[str, int]:
     """Encode every view of every zip and write per-zip moment ``.npz`` files.
 
     Batches are padded to ``batch_size`` so the jitted encoder compiles for
     exactly one shape. Returns ``{"zips": n, "views": n, "skipped": n}``.
+
+    ``compute_dtype`` should name the encoder's compute numerics (the VAE's
+    param/activation dtype); extending a cache built at a different
+    compute_dtype is refused — the moments would silently mix bf16-vs-f32
+    encode error with no marker.
     """
     import jax
     import jax.numpy as jnp
@@ -94,7 +121,22 @@ def precompute_latent_cache(
     from .objaverse import _load_image_from_bytes
 
     store_dtype = np.dtype(dtype)
-    write_meta(cache_dir, image_size, store_dtype.name)
+    existing = read_meta(cache_dir) or {}
+    if existing:
+        if existing.get("image_size") not in (None, image_size):
+            raise ValueError(
+                f"cache at {cache_dir!r} was built at image_size="
+                f"{existing.get('image_size')}, not {image_size}"
+            )
+        old_cd = existing.get("compute_dtype")
+        if compute_dtype and old_cd and old_cd != compute_dtype:
+            raise ValueError(
+                f"cache at {cache_dir!r} was encoded at compute_dtype="
+                f"{old_cd}; refusing to extend it at {compute_dtype} "
+                "(use a fresh cache dir or --overwrite the whole corpus)"
+            )
+    views_map: Dict[str, List[str]] = dict(existing.get("views") or {})
+    write_meta(cache_dir, image_size, store_dtype.name, compute_dtype, views_map)
 
     encode = jax.jit(
         lambda px: vae.apply(vae_params, px, method=vae.encode_moments)
@@ -119,8 +161,11 @@ def precompute_latent_cache(
             counts[zp] -= 1
             if counts[zp] == 0:
                 out = cache_file_for(cache_dir, zp)
-                np.savez_compressed(out + ".tmp.npz", **per_zip.pop(zp))
+                done = per_zip.pop(zp)
+                np.savez_compressed(out + ".tmp.npz", **done)
                 os.replace(out + ".tmp.npz", out)
+                base = os.path.splitext(os.path.basename(zp))[0]
+                views_map[base] = sorted(done)
                 stats["zips"] += 1
         stats["views"] += len(pending)
         pending.clear()
@@ -129,6 +174,12 @@ def precompute_latent_cache(
         out = cache_file_for(cache_dir, zp)
         if os.path.exists(out) and not overwrite:
             stats["skipped"] += 1
+            base = os.path.splitext(os.path.basename(zp))[0]
+            if base not in views_map:
+                # pre-views-map cache file: backfill its key list once so
+                # the meta stays the single source of truth
+                with np.load(out) as z:
+                    views_map[base] = sorted(z.files)
             continue
         try:
             with zipfile.ZipFile(zp) as zf:
@@ -153,6 +204,7 @@ def precompute_latent_cache(
             counts.pop(zp, None)
             pending[:] = [p for p in pending if p[0] != zp]
     flush()
+    write_meta(cache_dir, image_size, store_dtype.name, compute_dtype, views_map)
     return stats
 
 
@@ -217,9 +269,15 @@ class LatentCacheReader:
             return self._handles[zp]
 
     def view_keys(self, zip_path: str) -> List[str]:
-        """Cached view keys ("000", "001", …) for one zip — reads only the
-        npz central directory (cheap), no array decompression. For setup-time
-        per-view completeness validation."""
+        """Cached view keys ("000", "001", …) for one zip. Served from the
+        meta.json views map when present (one JSON read covers the whole
+        corpus — setup-time completeness validation used to open every npz
+        serially, O(corpus) I/O on every training start); pre-views-map
+        caches fall back to the npz central directory."""
+        base = os.path.splitext(os.path.basename(zip_path))[0]
+        from_meta = (self.meta.get("views") or {}).get(base)
+        if from_meta is not None:
+            return list(from_meta)
         path = cache_file_for(self.cache_dir, zip_path)
         if not os.path.exists(path):
             raise FileNotFoundError(f"no latent cache for {zip_path!r}")

@@ -205,6 +205,7 @@ class Trainer:
             if self.cfg.val_check_interval < 1.0
             else None
         )
+        trained_any = False
         for epoch in range(self.cfg.max_epochs):
             if stop:
                 break
@@ -214,6 +215,7 @@ class Trainer:
                 self.state, metrics = self.step_fn(
                     self.state, self.frozen, batch, step_rng
                 )
+                trained_any = True
                 hists = {k: metrics[k] for k in metrics if k.startswith("hist/")}
                 metrics = {
                     k: v for k, v in metrics.items() if not k.startswith("hist/")
@@ -270,15 +272,24 @@ class Trainer:
                     stop = True
                     break
             last_val = self.validate(epoch, rng)
-        # final checkpoint
-        self.ckpt.save(
-            max(step, 1),
-            self.state,
-            dataset_state=self.dm.state_dict(),
-            extra={"wandb_run_id": self.logger.run_id},
-            metrics=last_val or None,
-            force=True,
-        )
+        # final checkpoint — skipped when a resume restored a finished run
+        # and took zero steps (the state on disk IS this state; re-saving
+        # would needlessly delete-and-rewrite the latest step, and an
+        # elastic resubmit of a completed run must exit cleanly)
+        if trained_any or self.ckpt.latest_step() is None:
+            self.ckpt.save(
+                max(step, 1),
+                self.state,
+                dataset_state=self.dm.state_dict(),
+                extra={"wandb_run_id": self.logger.run_id},
+                metrics=last_val or None,
+                force=True,
+            )
+        else:
+            logger.info(
+                "no training steps taken (resumed at step %d, already "
+                "complete); keeping the existing checkpoint", step
+            )
         self.ckpt.wait()
         return self.state
 

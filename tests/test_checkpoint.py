@@ -170,3 +170,26 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(state2.params["params"]["w"]), 1.0)
     assert meta["dataset_state"]["rng_state"] == "abc"
     mgr.close()
+
+
+def test_checkpoint_manager_replaces_existing_step(tmp_path):
+    """Saving a step that already exists must replace it (a run resumed from
+    an earlier pinned step re-reaches steps of the pre-resume trajectory;
+    orbax itself raises StepAlreadyExistsError even with force=True)."""
+    import optax
+
+    from mvd_tpu.train import TrainState
+
+    params = {"params": {"w": jnp.ones((4, 4))}}
+    tx = optax.adam(1e-3)
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1)
+    assert mgr.save(2, state, force=True)
+    mgr.wait()
+
+    state_b = state.replace(params={"params": {"w": jnp.full((4, 4), 7.0)}})
+    assert mgr.save(2, state_b, force=True)  # must not raise
+    mgr.wait()
+    restored, _ = mgr.restore(state)
+    np.testing.assert_array_equal(np.asarray(restored.params["params"]["w"]), 7.0)
+    mgr.close()

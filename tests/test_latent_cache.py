@@ -118,6 +118,59 @@ def test_reader_rejects_wrong_image_size(cache):
         LatentCacheReader(cache, image_size=IMG * 2)
 
 
+def test_meta_records_views_and_compute_dtype(corpus, tmp_path, pipe):
+    from mvd_tpu.data.latent_cache import read_meta
+
+    out = str(tmp_path / "latcache_meta")
+    precompute_latent_cache(
+        pipe.vae, pipe.params["vae"], corpus_zips(corpus), out,
+        image_size=IMG, batch_size=3, compute_dtype="float32",
+    )
+    meta = read_meta(out)
+    assert meta["compute_dtype"] == "float32"
+    # views map covers every zip so setup-time validation is one JSON read
+    assert set(meta["views"]) == {f"obj_{i}" for i in range(6)}
+    assert meta["views"]["obj_0"] == ["000", "001", "002", "003"]
+    # the reader serves view_keys from the meta (no npz open)
+    reader = LatentCacheReader(out, image_size=IMG)
+    zp = corpus_zips(corpus)[0]
+    import os
+
+    os.rename(cache_file_for(out, zp), cache_file_for(out, zp) + ".hidden")
+    assert reader.view_keys(zp) == ["000", "001", "002", "003"]
+    os.rename(cache_file_for(out, zp) + ".hidden", cache_file_for(out, zp))
+
+
+def test_precompute_refuses_compute_dtype_mix(corpus, tmp_path, pipe):
+    """Extending a cache encoded at different numerics must fail loudly —
+    bf16-vs-f32 moments differ by encode error with no per-file marker."""
+    out = str(tmp_path / "latcache_mix")
+    precompute_latent_cache(
+        pipe.vae, pipe.params["vae"], corpus_zips(corpus)[:2], out,
+        image_size=IMG, batch_size=3, compute_dtype="float32",
+    )
+    with pytest.raises(ValueError, match="compute_dtype"):
+        precompute_latent_cache(
+            pipe.vae, pipe.params["vae"], corpus_zips(corpus), out,
+            image_size=IMG, batch_size=3, compute_dtype="bfloat16",
+        )
+
+
+def test_dataset_detects_stale_cache(corpus, cache):
+    """A zip re-rendered with MORE views after caching must fail at setup
+    (the cache lacks the new views), not crash mid-epoch."""
+    import os
+
+    zp = corpus_zips(corpus)[0]
+    os.remove(zp)
+    make_zip(zp, num_views=6)  # re-render with more views than the cache has
+    with pytest.raises(ValueError, match="STALE"):
+        ObjaverseDataset(
+            corpus, split="train", image_size=IMG, latent_cache_dir=cache,
+            val_split=0.0, test_split=0.0, max_views_per_object=6,
+        )
+
+
 def test_dataset_missing_cache_raises(corpus, tmp_path, cache):
     # drop one cache file -> coverage check fails loudly at construction
     import os
