@@ -74,6 +74,10 @@ class CheckpointManager:
                 "(resumed run diverged from the old trajectory)",
                 step, self.directory,
             )
+            # deleting while an async save of the same step is finalizing
+            # corrupts/desyncs (multi-host: the delete barrier races the
+            # save's finalize barrier) — drain first
+            self._mgr.wait_until_finished()
             self._mgr.delete(step)
         saved = self._mgr.save(
             step,

@@ -38,6 +38,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-slices", type=int, default=1,
                    help=">1 builds a multi-slice (DCN) mesh: the data axis "
                         "spans slices, view/model stay within a slice (ICI)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(or set MVD_COORDINATOR; SLURM multi-task "
+                        "allocations auto-detect)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count (MVD_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank (MVD_PROCESS_ID)")
     p.add_argument("--latent-cache-dir", type=str, default=None,
                    help="precomputed VAE latent-moment cache "
                    "(cli/precompute_latents.py); train batches skip the "
@@ -56,6 +64,17 @@ def main(argv=None):
 
     apply_platform_env()
     args = build_argparser().parse_args(argv)
+
+    # multi-host bootstrap BEFORE the first backend touch: after this,
+    # jax.devices() is the global device list and the mesh spans hosts
+    # (reference DDPStrategy+SLURMEnvironment equivalent, train.py:175-186)
+    from ..distributed import initialize as distributed_initialize, is_primary
+
+    distributed_initialize(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
 
     from ..config import TINY_MODEL, TrainConfig, train_config_from_yaml
     from ..data.objaverse import ObjaverseDataModule
@@ -146,6 +165,8 @@ def main(argv=None):
         seed=cfg.seed,
         dataset_format=args.dataset_format or data_cfg.dataset_format,
         latent_cache_dir=latent_cache_dir,
+        process_count=jax.process_count(),
+        process_index=jax.process_index(),
     )
     dm.setup()
 
@@ -165,6 +186,7 @@ def main(argv=None):
         run_name=args.run_name,
         run_id=wandb_id,
         config={"config": str(cfg)},
+        enabled=is_primary(),
     )
     trainer = Trainer(
         cfg,

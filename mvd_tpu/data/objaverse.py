@@ -411,6 +411,8 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         drop_last: bool = True,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
         self.ds = dataset
         self.tokenizer = tokenizer
@@ -422,6 +424,18 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
+        # multi-host: every process computes the SAME global batch order
+        # (seeded shuffle) and loads only its contiguous row block of each
+        # batch — the DistributedSampler analogue (mvd_tpu/distributed.py
+        # stitches the blocks back into one global array). batch_size stays
+        # the GLOBAL batch; __len__ stays the global step count.
+        self.process_count = max(1, process_count)
+        self.process_index = process_index
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size ({batch_size}) must be divisible by the "
+                f"process count ({self.process_count})"
+            )
 
     def __len__(self):
         if self.V > 1:
@@ -462,6 +476,13 @@ class DataLoader:
             order[i : i + per_batch]
             for i in range(0, len(order) - per_batch + 1, per_batch)
         ]
+        if self.process_count > 1:
+            # contiguous per-process row block of every global batch, in
+            # process order — matches make_array_from_process_local_data's
+            # row placement over the process-major ``data`` mesh axis
+            k = per_batch // self.process_count
+            lo = self.process_index * k
+            batches = [bi[lo : lo + k] for bi in batches]
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -525,7 +546,8 @@ class ObjaverseDataModule:
                  batch_size=6, max_views_per_object=8, dataset_samples=None,
                  views_per_sample=1, num_workers=4, seed=42,
                  dataset_format: str = "objaverse",
-                 latent_cache_dir: Optional[str] = None):
+                 latent_cache_dir: Optional[str] = None,
+                 process_count: int = 1, process_index: int = 0):
         self.kwargs = dict(
             data_root=data_root,
             image_size=image_size,
@@ -542,6 +564,8 @@ class ObjaverseDataModule:
         # train split only: validation generates images (needs source pixels)
         # and compares against target pixels, so val/test stay on pixels
         self.latent_cache_dir = latent_cache_dir
+        self.process_count = process_count
+        self.process_index = process_index
         self.datasets: Dict[str, ObjaverseDataset] = {}
 
     def _dataset_cls(self):
@@ -579,6 +603,8 @@ class ObjaverseDataModule:
             views_per_sample=self.views_per_sample,
             shuffle=shuffle if shuffle is not None else split == "train",
             num_workers=self.num_workers,
+            process_count=self.process_count,
+            process_index=self.process_index,
         )
 
     def state_dict(self):

@@ -73,14 +73,35 @@ class Trainer:
         # was minting a fresh timestamped dir here and restoring from it)
         self.resume_from = resume_from
         self._resume_step: Optional[int] = None
+        # multi-host: one process per host (mvd_tpu/distributed.py); the
+        # primary mints the timestamped run dir and broadcasts it so every
+        # process checkpoints into the SAME path (orbax coordinates the
+        # multi-host save across processes)
+        from ..distributed import broadcast_str, global_batch, is_primary
+
+        self._multiprocess = jax.process_count() > 1
+        if self._multiprocess and mesh is None:
+            raise ValueError("multi-process training requires a mesh")
+        self._put_batch = (
+            (lambda b: global_batch(mesh, b)) if self._multiprocess else (lambda b: b)
+        )
         if resume_from:
             from ..checkpoint import resolve_resume_path
 
             ckpt_dir, self._resume_step = resolve_resume_path(resume_from)
             self.dirs = reuse_output_dirs(os.path.dirname(ckpt_dir))
+        elif self._multiprocess:
+            root = broadcast_str(
+                create_output_dirs(output_dir or cfg.output_dir)["root"]
+                if is_primary()
+                else None
+            )
+            self.dirs = reuse_output_dirs(root)
         else:
             self.dirs = create_output_dirs(output_dir or cfg.output_dir)
-        self.logger = logger or MetricLogger(self.dirs["logs"], config={"cfg": str(cfg)})
+        self.logger = logger or MetricLogger(
+            self.dirs["logs"], config={"cfg": str(cfg)}, enabled=is_primary()
+        )
         self.max_duration_s = max_duration_hours * 3600
 
         self.train_loader = datamodule.loader("train")
@@ -109,6 +130,13 @@ class Trainer:
             "vae": pipe.params["vae"],
             "text_encoder": pipe.params["text_encoder"],
         }
+        if self._multiprocess:
+            # params/opt state were initialized per-process (identical seed);
+            # multi-process jit needs them as global replicated arrays
+            from ..distributed import replicate_to_mesh
+
+            self.state = replicate_to_mesh(mesh, self.state)
+            self.frozen = replicate_to_mesh(mesh, self.frozen)
         mask = trainable_mask(pipe.params["mvd"], cfg.train_denoising_unet)
         self.logger.log(
             {
@@ -161,7 +189,19 @@ class Trainer:
             # placement a fresh init reaches implicitly)
             from jax.sharding import NamedSharding, PartitionSpec
 
-            state = jax.device_put(state, NamedSharding(self.mesh, PartitionSpec()))
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            if self._multiprocess:
+                # every process restored the full value; assemble the global
+                # replicated array from the per-process copies (device_put
+                # cannot target non-addressable devices)
+                state = jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        repl, np.asarray(x)
+                    ),
+                    state,
+                )
+            else:
+                state = jax.device_put(state, repl)
         self.state = state
         if meta and meta.get("dataset_state"):
             self.dm.load_state_dict(meta["dataset_state"])
@@ -206,10 +246,14 @@ class Trainer:
             else None
         )
         trained_any = False
+        last_saved_step = -1
         for epoch in range(self.cfg.max_epochs):
             if stop:
                 break
             for batch in self.train_loader:
+                # multi-host: stitch this process's loader block into the
+                # global mesh-sharded batch (no-op single-process)
+                batch = self._put_batch(batch)
                 rng, step_rng = jax.random.split(rng)
                 t0 = time.perf_counter()
                 self.state, metrics = self.step_fn(
@@ -256,13 +300,14 @@ class Trainer:
                             step=step,
                         )
                 if step % self.cfg.checkpoint_every_steps == 0:
-                    self.ckpt.save(
+                    if self.ckpt.save(
                         step,
                         self.state,
                         dataset_state=self.dm.state_dict(),
                         extra={"wandb_run_id": self.logger.run_id},
                         metrics=last_val or None,
-                    )
+                    ):
+                        last_saved_step = step
                 if val_every and step % val_every == 0:
                     last_val = self.validate(epoch, rng)
                 if self.cfg.max_steps and step >= self.cfg.max_steps:
@@ -275,8 +320,14 @@ class Trainer:
         # final checkpoint — skipped when a resume restored a finished run
         # and took zero steps (the state on disk IS this state; re-saving
         # would needlessly delete-and-rewrite the latest step, and an
-        # elastic resubmit of a completed run must exit cleanly)
-        if trained_any or self.ckpt.latest_step() is None:
+        # elastic resubmit of a completed run must exit cleanly), and when
+        # the in-loop save already wrote THIS step (re-saving would take the
+        # delete-then-rewrite path — wasteful, and under multi-host the
+        # two managers' delete barriers can desync against the first save's
+        # async finalize)
+        if max(step, 1) == last_saved_step:
+            pass
+        elif trained_any or self.ckpt.latest_step() is None:
             self.ckpt.save(
                 max(step, 1),
                 self.state,
@@ -310,12 +361,21 @@ class Trainer:
             if len(gen_pool) < gen_batches:
                 gen_pool.append(batch)
             rng, r = jax.random.split(rng)
-            loss, m = self.loss_fn(self.state.params, self.frozen, batch, r)
+            loss, m = self.loss_fn(
+                self.state.params, self.frozen, self._put_batch(batch), r
+            )
             losses.append(float(loss))
         out: Dict[str, float] = {}
         if losses:
             out["val/noise_loss"] = float(np.mean(losses))
 
+        if generate and self._multiprocess:
+            # full 20-step generation stays a single-host path for now: the
+            # pipeline consumes host-local numpy inputs, and a per-process
+            # local generation under a host-spanning mesh would desync the
+            # collective program. Loss/metric validation above IS global.
+            logger.info("multi-host run: skipping in-training generation pass")
+            generate = False
         if generate and gen_pool:
             out.update(self._generation_metrics(gen_pool, epoch))
         if out:

@@ -67,13 +67,18 @@ class MetricLogger:
         run_id: Optional[str] = None,
         config: Optional[Dict[str, Any]] = None,
         use_wandb: bool = True,
+        enabled: bool = True,
     ):
+        # ``enabled=False`` turns the logger into a no-op sink — multi-host
+        # runs log from the primary process only (DDP rank_zero_only
+        # semantics; mvd_tpu/distributed.py:is_primary)
+        self.enabled = enabled
         os.makedirs(log_dir, exist_ok=True)
         self.jsonl_path = os.path.join(log_dir, "metrics.jsonl")
-        self._f = open(self.jsonl_path, "a")
+        self._f = open(self.jsonl_path, "a") if enabled else None
         self.wandb = None
         self.run_id = run_id
-        if use_wandb:
+        if use_wandb and enabled:
             try:
                 import wandb  # noqa: PLC0415
 
@@ -89,6 +94,8 @@ class MetricLogger:
                 logger.info("wandb unavailable (%s); JSONL only", e)
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        if not self.enabled:
+            return
         clean = {}
         for k, v in metrics.items():
             if hasattr(v, "item"):
@@ -109,6 +116,8 @@ class MetricLogger:
         """Raw-value sample vectors -> W&B histograms (native binning, as the
         reference's Lightning/wandb gradient histograms, training.py:603-647)
         plus a compact binned record in the JSONL stream."""
+        if not self.enabled:
+            return
         rec: Dict[str, Any] = {"step": step, "time": time.time()}
         for k, v in hists.items():
             v = np.asarray(v, np.float64)
@@ -137,7 +146,8 @@ class MetricLogger:
             )
 
     def finish(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self.wandb is not None:
             self.wandb.finish()
 

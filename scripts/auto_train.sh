@@ -66,7 +66,14 @@ RESUME_ARGS=()
 WANDB_ARGS=()
 [[ -n "$WANDB_ID" ]] && WANDB_ARGS+=(--wandb-id "$WANDB_ID")
 
-python -m mvd_tpu.cli.train \
+# multi-node allocations launch one process per host (they join the
+# multi-host runtime via SLURM auto-detect, mvd_tpu/distributed.py);
+# single-node runs stay a plain python invocation
+LAUNCH=(python -m mvd_tpu.cli.train)
+if [[ -n "${SLURM_JOB_ID:-}" && "${SLURM_JOB_NUM_NODES:-1}" -gt 1 && -z "${SLURM_STEP_ID:-}" ]]; then
+  LAUNCH=(srun --ntasks-per-node=1 python -m mvd_tpu.cli.train)
+fi
+"${LAUNCH[@]}" \
     --config "$CONFIG" \
     --output-dir "$CKPT_DIR" \
     "${RESUME_ARGS[@]}" "${WANDB_ARGS[@]}" "${EXTRA_ARGS[@]}" &
