@@ -54,6 +54,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="concat per-pixel Plücker ray maps (target rays in "
                         "the source frame, computed in-jit from the batch "
                         "cameras) to the UNet input channels")
+    p.add_argument("--init-params", type=str, default=None,
+                   help="orbax params dir (checkpoint.save_params layout) whose "
+                        "top-level components (vae / text_encoder / mvd) replace "
+                        "the fresh init — e.g. a corpus-pretrained VAE from "
+                        "tools/pretrain_vae.py standing in for the reference's "
+                        "HF-pretrained VAE (mvd_unet.py:411-415)")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     p.add_argument("--debug-nans", action="store_true")
     return p
@@ -121,6 +127,38 @@ def main(argv=None):
     cfg = dataclasses.replace(cfg, model=model_cfg)
 
     pipe = MVDPipeline.create(model_cfg, jax.random.PRNGKey(cfg.seed))
+
+    if args.init_params:
+        # Component-wise pretrained init: the reference always starts from
+        # HF-pretrained VAE/text/UNet weights (mvd_unet.py:411-415); offline,
+        # the equivalent is params exported by save_params (e.g. a VAE
+        # pretrained on the corpus by tools/pretrain_vae.py, or a converted
+        # torch checkpoint re-exported). Only components present in the
+        # saved tree are replaced; shapes must match the configured widths.
+        from ..checkpoint import load_params
+
+        loaded = load_params(args.init_params)
+        merged = dict(pipe.params)
+        for comp, tree in loaded.items():
+            if comp not in merged:
+                raise SystemExit(
+                    f"--init-params component {comp!r} not in pipeline params "
+                    f"(have {sorted(merged)})"
+                )
+            tmpl = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), merged[comp])
+            got = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), tree)
+            if tmpl != got:
+                raise SystemExit(
+                    f"--init-params component {comp!r} does not match the "
+                    "configured architecture (shape/dtype mismatch)"
+                )
+            merged[comp] = tree
+            logging.getLogger(__name__).info(
+                "initialized %r from %s", comp, args.init_params
+            )
+        # reassign (not mutate): the pipeline's compute-dtype param cache is
+        # keyed on the params object's identity
+        pipe.params = merged
 
     dataset_path = args.dataset_path or os.environ.get("MVD_DATASET_PATH", "")
     from ..config import data_config_from_yaml, DataConfig

@@ -275,6 +275,25 @@ def _get(cfg: Dict[str, Any], *keys, default=None):
     return default
 
 
+def _apply_overrides(cfg, overrides: Optional[Dict[str, Any]]):
+    """Replace dataclass fields from a YAML mapping; lists become tuples
+    (dataclass fields are tuples so configs stay hashable). Unknown keys
+    raise — a typo'd architecture knob must not silently train the default
+    width."""
+    if not overrides:
+        return cfg
+    valid = {f.name for f in dataclasses.fields(cfg)}
+    unknown = set(overrides) - valid
+    if unknown:
+        raise ValueError(
+            f"unknown {type(cfg).__name__} override keys: {sorted(unknown)}"
+        )
+    fixed = {
+        k: tuple(v) if isinstance(v, list) else v for k, v in overrides.items()
+    }
+    return dataclasses.replace(cfg, **fixed)
+
+
 def train_config_from_yaml(path: str) -> TrainConfig:
     """Load a reference-style YAML (config/train_config.yaml keys) into a
     TrainConfig. Unknown keys are ignored; missing keys keep defaults."""
@@ -287,6 +306,16 @@ def train_config_from_yaml(path: str) -> TrainConfig:
         remat=bool(_get(raw, "enable_gradient_checkpointing", default=True)),
         attention_impl=_get(raw, "attention_impl", default="auto"),
     )
+    # Optional architecture overrides: the reference pins widths to whatever
+    # HF checkpoint `pretrained_model_name` names (train_config.yaml:6); with
+    # no weight downloads here, custom widths are a first-class config
+    # surface instead (e.g. config/evidence_256.yaml's mid-width model for
+    # the offline view-synthesis experiment). Any UNetConfig/VAEConfig/
+    # CLIPTextConfig field may appear under unet_config/vae_config/
+    # text_encoder_config; list values become tuples.
+    unet = _apply_overrides(unet, raw.get("unet_config"))
+    vae = _apply_overrides(VAEConfig(), raw.get("vae_config"))
+    text = _apply_overrides(CLIPTextConfig(), raw.get("text_encoder_config"))
     cam = CameraEncoderConfig(
         output_dim=int(_get(raw, "camera_embedding_dim", "cam_output_dim", default=1024)),
         hidden_dim=int(_get(raw, "camera_hidden_dim", "cam_hidden_dim", default=512)),
@@ -311,8 +340,16 @@ def train_config_from_yaml(path: str) -> TrainConfig:
         learning_rate=float(_get(raw, "learning_rate", "lr", default=1e-5)),
         max_grad_norm=float(_get(raw, "max_grad_norm", default=1.0)),
     )
+    if text.hidden_size != unet.cross_attention_dim:
+        raise ValueError(
+            f"text_encoder_config.hidden_size ({text.hidden_size}) must equal "
+            f"unet_config.cross_attention_dim ({unet.cross_attention_dim}) — "
+            "the text context feeds the UNet cross-attention directly"
+        )
     model = ModelConfig(
         unet=unet,
+        vae=vae,
+        text_encoder=text,
         camera_encoder=cam,
         scheduler=sched,
         use_camera_conditioning=bool(_get(raw, "use_camera_conditioning", default=True)),
