@@ -91,12 +91,18 @@ def load_towers(
     towers.setdefault("lpips", LPIPS(lpips_net, None, None))
 
     clip_params = None
+    clip_arch = {}
     if clip_vision_weights:
         try:
-            clip_params = clip_vision_from_torch(_torch_load(clip_vision_weights))
+            from .towers import clip_arch_from_sd
+
+            sd = _torch_load(clip_vision_weights)
+            clip_arch = clip_arch_from_sd(sd)  # H vs L wiring from the shapes
+            clip_params = clip_vision_from_torch(sd)
         except Exception as e:
             logger.warning("clip weights unusable: %s", e)
-    towers["clip"] = CLIPImageScore(clip_params)
+            clip_arch = {}
+    towers["clip"] = CLIPImageScore(clip_params, **clip_arch)
 
     if inception_weights:
         # standard Inception-FID (reference torchmetrics FID equivalent)

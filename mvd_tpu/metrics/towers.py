@@ -276,6 +276,46 @@ def lpips_lins_from_torch(sd: Dict[str, np.ndarray], net: str = "alex") -> Dict[
     return out
 
 
+def clip_arch_from_sd(sd: Dict[str, np.ndarray]) -> Dict[str, int]:
+    """Infer the CLIP vision architecture from a transformers
+    CLIPVisionModelWithProjection state dict, so load_towers builds the
+    RIGHT tower for whatever weights it is given — laion CLIP-H
+    (hidden 1280, head_dim 80, gelu, proj 1024) vs OpenAI CLIP-L
+    (hidden 1024, head_dim 64, quick_gelu, proj 768) differ in every one of
+    those, and the reference consumes CLIP through torchmetrics' default
+    (reference src/training/losses.py:59-98, val.py:84-104) where the
+    checkpoint determines the architecture.
+
+    Everything but the head count and activation is directly visible in the
+    shapes; those two follow the family convention (laion H-family uses
+    80-dim heads + exact gelu; OpenAI B/L use 64-dim heads + quick_gelu),
+    keyed on whether the width divides into 80-dim heads.
+    """
+    sd = {k.replace("vision_model.", ""): np.asarray(v) for k, v in sd.items()}
+    hidden = int(sd["embeddings.class_embedding"].shape[0])
+    patch = int(sd["embeddings.patch_embedding.weight"].shape[2])
+    num_pos = int(sd["embeddings.position_embedding.weight"].shape[0])
+    image = patch * int(round((num_pos - 1) ** 0.5))
+    layer_ids = [
+        int(m.group(1))
+        for m in (re.match(r"encoder\.layers\.(\d+)\.", k) for k in sd)
+        if m
+    ]
+    fc1 = next(v for k, v in sd.items() if k.endswith("layers.0.mlp.fc1.weight"))
+    proj = int(sd["visual_projection.weight"].shape[0])
+    h_family = hidden % 80 == 0
+    return {
+        "hidden_size": hidden,
+        "num_layers": max(layer_ids) + 1,
+        "num_heads": hidden // (80 if h_family else 64),
+        "intermediate_size": int(np.asarray(fc1).shape[0]),
+        "patch_size": patch,
+        "image_size": image,
+        "projection_dim": proj,
+        "hidden_act": "gelu" if h_family else "quick_gelu",
+    }
+
+
 def clip_vision_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
     """transformers CLIPVisionModelWithProjection state dict -> params."""
     out = {}
