@@ -9,8 +9,15 @@ import numpy as np
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
-    """[0,1] (or [-1,1]) float NHWC/HWC -> uint8."""
-    img = np.asarray(img, np.float32)
+    """[0,1] (or [-1,1]) float NHWC/HWC -> uint8; uint8 passes through.
+
+    The pass-through matters: ``side_by_side`` returns a uint8 canvas, and
+    re-normalizing it as if it were [0,1] floats clips every pixel > 1 to
+    white (the bug that blanked the training comparison PNGs)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    img = img.astype(np.float32)
     if img.min() < -0.01:  # [-1,1] -> [0,1]
         img = img / 2 + 0.5
     return (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
