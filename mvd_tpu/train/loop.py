@@ -370,11 +370,19 @@ class Trainer:
             out["val/noise_loss"] = float(np.mean(losses))
 
         if generate and self._multiprocess:
-            # full 20-step generation stays a single-host path for now: the
-            # pipeline consumes host-local numpy inputs, and a per-process
-            # local generation under a host-spanning mesh would desync the
-            # collective program. Loss/metric validation above IS global.
-            logger.info("multi-host run: skipping in-training generation pass")
+            # Multi-host: generation runs on the PRIMARY process only, as a
+            # host-local pass (the reference renders validation images under
+            # DDP per rank and logs rank-0's, training.py:300-343). Params
+            # are globally REPLICATED over the mesh (replicate_to_mesh), so
+            # process 0 holds a complete addressable copy — fetch it to host
+            # and drive the unsharded single-process pipeline on process 0's
+            # local gen batches. Other processes skip straight past; they
+            # re-synchronize at the next global collective (jit programs over
+            # the global mesh are the only cross-process sync points).
+            from ..distributed import is_primary
+
+            if is_primary() and gen_pool:
+                out.update(self._generation_metrics(gen_pool, epoch, local=True))
             generate = False
         if generate and gen_pool:
             out.update(self._generation_metrics(gen_pool, epoch))
@@ -382,26 +390,68 @@ class Trainer:
             self.logger.log(out, step=int(self.state.step))
         return out
 
-    def _generation_metrics(self, batches, epoch: int) -> Dict[str, float]:
+    def _local_pipeline(self):
+        """Unsharded, single-process twin of ``self.pipe`` for the primary's
+        multi-host generation pass. Same modules/tokenizer/schedule; mesh is
+        None and the UNet's view axis is unset so every jit program touches
+        only this process's local devices (a global-mesh program would need
+        all processes to participate — the old deadlock-shaped reason this
+        pass used to be skipped). Cached: jit/program caches live per
+        pipeline instance."""
+        if getattr(self, "_local_pipe", None) is None:
+            import dataclasses
+
+            from ..pipeline import MVDPipeline
+
+            cfg = self.pipe.config
+            if cfg.unet.view_axis is not None:
+                cfg = dataclasses.replace(
+                    cfg, unet=dataclasses.replace(cfg.unet, view_axis=None)
+                )
+            self._local_pipe = MVDPipeline(
+                cfg,
+                params=dict(self.pipe.params),
+                tokenizer=self.pipe.tokenizer,
+                schedule=self.pipe.schedule,
+                mesh=None,
+            )
+        return self._local_pipe
+
+    def _generation_metrics(
+        self, batches, epoch: int, local: bool = False
+    ) -> Dict[str, float]:
         """20-step generation over the validation batches + comparison PNGs.
         The reference generates per validation batch (training.py:300-394);
         the per-batch metrics are averaged here the same way its epoch-end
-        hook does (training.py:719-736)."""
-        self.pipe.params = {**self.pipe.params, "mvd": self.state.params}
+        hook does (training.py:719-736).
+
+        ``local=True`` (multi-host primary): fetch the globally-replicated
+        params to host (legal process-locally for fully-replicated arrays)
+        and generate through the unsharded local pipeline."""
+        if local:
+            pipe = self._local_pipeline()
+            pipe.params = {
+                **{k: jax.device_get(v) for k, v in self.frozen.items()},
+                "mvd": jax.device_get(self.state.params),
+            }
+        else:
+            pipe = self.pipe
+            pipe.params = {**pipe.params, "mvd": self.state.params}
+        view_sharded = self.view_sharded and not local
         per_batch = []
         panels = {}
         for bi, batch in enumerate(batches):
             B, V = batch["source_image"].shape[:2]
             # view-sharded generation runs whole (B, V) blocks (shard_map
             # divisibility over the mesh); unsharded keeps the batch small
-            n = B * V if self.view_sharded else min(2, B * V)
+            n = B * V if view_sharded else min(2, B * V)
             flat = {
                 k: np.asarray(v).reshape((-1,) + v.shape[2:])[:n]
                 for k, v in batch.items()
             }
             src = (flat["source_image"] + 1) / 2
             res = src.shape[1]
-            result = self.pipe(
+            result = pipe(
                 [""] * n,
                 num_inference_steps=20,
                 guidance_scale=1.0,

@@ -81,6 +81,24 @@ loss0, _ = tr.loss_fn(
 )
 loss0 = float(loss0)
 
+# multi-host validation generation (reference training.py:300-343 runs the
+# full generation pass under DDP): the PRIMARY generates through the
+# host-local unsharded pipeline from its local row block; the non-primary
+# skips. Parity vs the single-process run is asserted in the parent (same
+# fresh-init params, same local rows 0:2 of the deterministic first batch).
+gen_metrics = {}
+if is_primary():
+    gen_metrics = tr._generation_metrics([first], 0, local=True)
+else:
+    # the non-primary must NOT be needed for the primary's local programs;
+    # prove it by racing ahead into the next global collective (the loss
+    # re-eval below) while the primary is still generating
+    pass
+loss0b, _ = tr.loss_fn(
+    tr.state.params, tr.frozen, tr._put_batch(first), jax.random.PRNGKey(123)
+)
+assert float(loss0b) == loss0, "global loss changed across the generation pass"
+
 state = tr.fit()
 tr.ckpt.wait()
 
@@ -94,6 +112,7 @@ assert tr2.resume(), "multi-host resume found no checkpoint"
 resume_step = int(tr2.state.step)
 
 result = {
+    "gen": {k: float(v) for k, v in gen_metrics.items()},
     "resume_step": resume_step,
     "pid": pid,
     "primary": is_primary(),

@@ -130,9 +130,15 @@ def test_two_process_training(corpus, tmp_path):
         for pid in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1200)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=2700)
+            outs.append(out)
+    finally:
+        for p in procs:  # a timeout must not orphan the gloo children
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"child failed:\n{out[-4000:]}"
 
@@ -186,3 +192,15 @@ def test_two_process_training(corpus, tmp_path):
         tr.state.params, tr.frozen, first, jax.random.PRNGKey(123)
     )
     assert results[0]["loss0"] == pytest.approx(float(loss0), rel=2e-5)
+
+    # multi-host validation GENERATION (reference training.py:300-343 under
+    # DDP): the primary generated through the host-local pipeline, the
+    # non-primary skipped, and the generated-image metrics match this
+    # single-process run bit-for-tolerance (same fresh-init params, same
+    # first local rows, same seed)
+    assert results[1]["gen"] == {}
+    mh_gen = results[0]["gen"]
+    assert {"val/gen_pixel_mse", "val/gen_psnr", "val/gen_ssim"} <= set(mh_gen)
+    sp_gen = tr._generation_metrics([first], 0)
+    for k, v in sp_gen.items():
+        assert mh_gen[k] == pytest.approx(v, rel=1e-3), (k, mh_gen[k], v)
