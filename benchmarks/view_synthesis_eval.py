@@ -116,6 +116,7 @@ def evaluate_model(
     batch: int,
     triptych_dir: Optional[str],
     sampler: Optional[str] = None,
+    encoder_reuse: int = 1,
 ) -> Dict:
     import jax.numpy as jnp
 
@@ -147,6 +148,7 @@ def evaluate_model(
             seed=1234,
             output_type="np",
             sampler=sampler,
+            encoder_reuse=encoder_reuse,
         )
         gen01 = np.clip(np.asarray(out["images"]), 0.0, 1.0)
         gt01 = (gt + 1.0) / 2.0
@@ -198,6 +200,13 @@ def main(argv: Optional[Sequence[str]] = None):
     ap.add_argument("--num-steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=9)
     ap.add_argument("--sampler", default=None, help="override sampler (ddpm/ddim/dpmpp_2m)")
+    ap.add_argument(
+        "--encoder-reuse",
+        type=int,
+        default=1,
+        help="encoder-propagation fast sampling (approximate; k>1 reuses "
+        "the down-path cache for k-1 of every k steps)",
+    )
     ap.add_argument("--out", default=None, help="output dir for json + triptychs")
     ap.add_argument("--platform", default=None, help="e.g. cpu to force off-TPU")
     args = ap.parse_args(argv)
@@ -271,6 +280,7 @@ def main(argv: Optional[Sequence[str]] = None):
                 args.batch,
                 trip_dir,
                 sampler=args.sampler,
+                encoder_reuse=args.encoder_reuse,
             )
         )
 
@@ -280,6 +290,7 @@ def main(argv: Optional[Sequence[str]] = None):
         "pairs": len(pairs),
         "num_steps": args.num_steps,
         "sampler": args.sampler or "config default (ddpm)",
+        "encoder_reuse": args.encoder_reuse,
         "results": results,
     }
     print(json.dumps(table, indent=2))

@@ -53,6 +53,13 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--tiny", action="store_true", help="tiny debug VAE")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="training YAML whose model (vae_config overrides, compute "
+        "dtype) the encode pass should match — required when the VAE is "
+        "not flagship-width (e.g. config/evidence_256.yaml)",
+    )
     return p
 
 
@@ -68,7 +75,12 @@ def main(argv=None):
     from ..data.latent_cache import corpus_zips, precompute_latent_cache
     from ..nn.vae import AutoencoderKL
 
-    cfg = TINY_MODEL if args.tiny else ModelConfig()
+    if args.config:
+        from ..config import train_config_from_yaml
+
+        cfg = train_config_from_yaml(args.config).model
+    else:
+        cfg = TINY_MODEL if args.tiny else ModelConfig()
     import jax.numpy as _jnp
 
     compute_dtype = _jnp.dtype(args.compute_dtype or cfg.dtype)
