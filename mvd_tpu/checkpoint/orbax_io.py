@@ -32,14 +32,40 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.monitor = monitor
-        best_fn = (lambda m: -m[self.monitor]) if mode == "min" else (
-            lambda m: m[self.monitor]
+        sign = -1.0 if mode == "min" else 1.0
+        # rank = higher-is-better; metric-less saves rank last (they only
+        # survive via LatestN), so they can never squat a top-k slot
+        self._rank = lambda m: (
+            sign * float(m[self.monitor])
+            if m and self.monitor in m
+            else float("-inf")
         )
+        # top-k by monitored metric PLUS always the latest step — Lightning's
+        # save_top_k + save_last (reference train.py:154-162). A pure
+        # best_fn/max_to_keep policy can evict the FINAL checkpoint of a run:
+        # in-loop saves carry the previous validation's metrics, so a last
+        # save whose (stale) metric ranks k+1-th was garbage-collected and a
+        # finished run lost its last checkpoint_every_steps of training
+        # (observed: an 8000-step run whose latest surviving step was 7000).
+        from orbax.checkpoint import checkpoint_managers as _cm
+
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep,
-            best_fn=lambda m: best_fn(m) if m and self.monitor in m else 0.0,
             save_interval_steps=save_interval_steps,
-            keep_checkpoints_without_metrics=True,
+            preservation_policy=_cm.AnyPreservationPolicy(
+                [
+                    _cm.LatestN(1),
+                    _cm.BestN(
+                        get_metric_fn=self._rank,
+                        n=max_to_keep,
+                        keep_checkpoints_without_metrics=False,
+                    ),
+                ]
+            ),
+            # best_fn is NOT used for GC once preservation_policy is set, but
+            # setting it is what makes orbax PERSIST per-step metrics (the
+            # <step>/metrics item) — without it a resumed manager sees no
+            # metrics and BestN would rank every pre-resume step -inf
+            best_fn=self._rank,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -90,8 +116,25 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        return list(self._mgr.all_steps())
+
     def best_step(self) -> Optional[int]:
-        return self._mgr.best_step()
+        """Step with the best monitored metric among kept checkpoints.
+        (orbax's own best_step() needs options.best_fn, which the
+        preservation-policy config no longer sets — rank from the saved
+        per-step metrics instead.)"""
+        best, best_v = None, float("-inf")
+        for s in self._mgr.all_steps():
+            f = os.path.join(self.directory, str(s), "metrics", "metrics")
+            try:
+                with open(f) as fh:
+                    v = self._rank(json.load(fh))
+            except (OSError, ValueError):
+                continue
+            if v > best_v:
+                best, best_v = s, v
+        return best
 
     def restore(self, state_template, step: Optional[int] = None):
         """Returns (state, meta_dict)."""

@@ -299,6 +299,12 @@ class Trainer:
                             },
                             step=step,
                         )
+                # val BEFORE save: a save at a step that also validates must
+                # carry THAT step's metrics, not the previous val's (the
+                # in-loop metric a checkpoint carries is otherwise always one
+                # val stale, which skews the top-k ranking)
+                if val_every and step % val_every == 0:
+                    last_val = self.validate(epoch, rng)
                 if step % self.cfg.checkpoint_every_steps == 0:
                     if self.ckpt.save(
                         step,
@@ -308,8 +314,6 @@ class Trainer:
                         metrics=last_val or None,
                     ):
                         last_saved_step = step
-                if val_every and step % val_every == 0:
-                    last_val = self.validate(epoch, rng)
                 if self.cfg.max_steps and step >= self.cfg.max_steps:
                     stop = True
                     break

@@ -172,6 +172,38 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_retention_keeps_topk_plus_last(tmp_path):
+    """Top-k by val metric PLUS always the latest step (Lightning's
+    save_top_k + save_last, reference train.py:154-162). Regression: with a
+    pure best_fn/max_to_keep policy, a final save whose (one-val-stale)
+    metric ranked k+1-th was evicted — an 8000-step evidence run's latest
+    surviving checkpoint was 7000, losing the last 1000 steps on resume."""
+    import optax
+
+    from mvd_tpu.train import TrainState
+
+    params = {"params": {"w": jnp.ones((2,))}}
+    state = TrainState.create(params, optax.adam(1e-3))
+    mgr = CheckpointManager(
+        str(tmp_path / "ckpt"), max_to_keep=3, save_interval_steps=1
+    )
+    # the exact metric sequence that reproduced the eviction: the step-8
+    # save carries a REGRESSED stale val (0.0622), ranking 4th of 4
+    seq = {
+        1: 0.08288, 2: 0.07204, 3: 0.06692, 4: 0.06165,
+        5: 0.06356, 6: 0.06077, 7: 0.05813, 8: 0.06222,
+    }
+    for s, loss in seq.items():
+        st = state.replace(step=jnp.asarray(s))
+        assert mgr.save(s, st, metrics={"val/noise_loss": loss}, force=True)
+    mgr.wait()
+    kept = sorted(mgr.all_steps())
+    assert kept == [4, 6, 7, 8], kept  # top-3 by loss + the latest
+    assert mgr.latest_step() == 8
+    assert mgr.best_step() == 7
+    mgr.close()
+
+
 def test_checkpoint_manager_replaces_existing_step(tmp_path):
     """Saving a step that already exists must replace it (a run resumed from
     an earlier pinned step re-reaches steps of the pre-resume trajectory;
