@@ -50,6 +50,12 @@ def _filter2d(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
+        # TPU convs default to bf16 passes on f32 inputs; SSIM's variance
+        # terms (E[x²] − μ²) catastrophically cancel at bf16 and the map
+        # goes wildly wrong (measured: 0.78 true SSIM read as 0.06 on-chip,
+        # and negative val/gen_ssim in training logs). Metrics must be
+        # exact — force full f32 accumulation.
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

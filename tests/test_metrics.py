@@ -34,6 +34,42 @@ def test_ssim_identity_and_bounds():
     assert -1.0 <= v < 0.5
 
 
+def test_ssim_matches_separable_numpy_reference():
+    """Pin SSIM against a direct numpy implementation. The jax version runs
+    its Gaussian windows through conv_general_dilated, which on TPU defaults
+    to bf16 passes — the E[x²]−μ² variance terms then catastrophically
+    cancel (0.78 true SSIM read as 0.06 on-chip) until Precision.HIGHEST is
+    forced. This reference keeps the numerics pinned on every backend."""
+    from scipy.signal import convolve2d  # in-image scipy
+
+    rng = np.random.default_rng(3)
+    # smooth natural-ish images: offset + low-frequency structure (the
+    # cancellation-hostile regime: large μ², small σ²)
+    def make(seed):
+        r = np.random.default_rng(seed)
+        base = r.normal(0.7, 0.02, (1, 24, 24, 1)).astype(np.float32)
+        return np.clip(base, 0, 1)
+
+    a, b = make(1), make(2)
+    win = np.outer(*(2 * [np.exp(-((np.arange(11) - 5) ** 2) / 4.5)]))
+    win = (win / win.sum()).astype(np.float32)
+
+    def f2d(x):
+        return convolve2d(x[0, :, :, 0], win[::-1, ::-1], mode="valid")[None, :, :, None]
+
+    c1, c2 = (0.01) ** 2, (0.03) ** 2
+    mu_a, mu_b = f2d(a), f2d(b)
+    sa = f2d(a * a) - mu_a**2
+    sb = f2d(b * b) - mu_b**2
+    sab = f2d(a * b) - mu_a * mu_b
+    ref = float(
+        (((2 * mu_a * mu_b + c1) * (2 * sab + c2)) /
+         ((mu_a**2 + mu_b**2 + c1) * (sa + sb + c2))).mean()
+    )
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
 def test_running_moments_match_numpy():
     rng = np.random.default_rng(0)
     data = rng.standard_normal((100, 5))
