@@ -117,6 +117,7 @@ def evaluate_model(
     triptych_dir: Optional[str],
     sampler: Optional[str] = None,
     encoder_reuse: int = 1,
+    save_gen_dir: Optional[str] = None,
 ) -> Dict:
     import jax.numpy as jnp
 
@@ -130,6 +131,7 @@ def evaluate_model(
 
     psnrs: List[float] = []
     ssims: List[float] = []
+    gens: List[np.ndarray] = []
     t0 = time.time()
     for s in range(0, len(pairs), batch):
         chunk = pairs[s : s + batch]
@@ -151,6 +153,8 @@ def evaluate_model(
             encoder_reuse=encoder_reuse,
         )
         gen01 = np.clip(np.asarray(out["images"]), 0.0, 1.0)
+        if save_gen_dir:
+            gens.append(gen01)
         gt01 = (gt + 1.0) / 2.0
         p = np.asarray(psnr_per_image(jnp.asarray(gen01), jnp.asarray(gt01), data_range=1.0))
         sv = np.asarray(
@@ -169,6 +173,12 @@ def evaluate_model(
                 Image.fromarray((trip * 255).astype(np.uint8)).save(
                     os.path.join(triptych_dir, f"{label}_{s + j:03d}.png")
                 )
+    if save_gen_dir:
+        os.makedirs(save_gen_dir, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(save_gen_dir, f"{label}.npz"),
+            images=np.concatenate(gens, axis=0),
+        )
     res = {
         "label": label,
         "step": step,
@@ -208,6 +218,13 @@ def main(argv: Optional[Sequence[str]] = None):
         "the down-path cache for k-1 of every k steps)",
     )
     ap.add_argument("--out", default=None, help="output dir for json + triptychs")
+    ap.add_argument(
+        "--save-gen",
+        action="store_true",
+        help="save each model's generated images to <out>/gen/<label>.npz "
+        "(for per-image comparison of approximate fast paths against the "
+        "exact trajectory)",
+    )
     ap.add_argument("--platform", default=None, help="e.g. cpu to force off-TPU")
     args = ap.parse_args(argv)
 
@@ -281,6 +298,9 @@ def main(argv: Optional[Sequence[str]] = None):
                 trip_dir,
                 sampler=args.sampler,
                 encoder_reuse=args.encoder_reuse,
+                save_gen_dir=(
+                    os.path.join(args.out, "gen") if args.out and args.save_gen else None
+                ),
             )
         )
 
