@@ -184,8 +184,13 @@ class CrossViewAdapter(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q_ref")(hidden)
         if isinstance(ref, tuple):
             k, v = ref  # (B, Sk, inner), precomputed by the pipeline
-            k = k.astype(hidden.dtype)
-            v = v.astype(hidden.dtype)
+            # cast to the COMPUTE dtype (q's), not hidden's: the residual
+            # stream is f32, and upcasting the precomputed K/V fed every
+            # adapter flash kernel f32 operands — the MXU's slow path, 2x
+            # the K/V VMEM (a scoped-VMEM compile OOM at 768² 8-view), and
+            # a dtype the self-attention path never uses
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         elif _use_fused_qkv():
             # K/V share the ref input: one matmul over concatenated kernels
             wk = _DenseParams(inner, name="to_k_ref")(ref.shape[-1])
