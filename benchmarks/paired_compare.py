@@ -27,7 +27,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from view_synthesis_eval import load_view  # noqa: E402
+from view_synthesis_eval import load_view, target_view_indices  # noqa: E402
 
 
 def main(argv: Optional[Sequence[str]] = None):
@@ -55,9 +55,7 @@ def main(argv: Optional[Sequence[str]] = None):
     gts = []
     for zp in files:
         _, _, _, n_views = load_view(zp, 0, args.image_size)
-        stride = max(1, n_views // (args.targets_per_object + 1))
-        for k in range(1, args.targets_per_object + 1):
-            v = min(k * stride, n_views - 1)
+        for v in target_view_indices(n_views, args.targets_per_object):
             tgt_img, _, _, _ = load_view(zp, v, args.image_size)
             gts.append((tgt_img + 1.0) / 2.0)
     gt01 = jnp.asarray(np.stack(gts))

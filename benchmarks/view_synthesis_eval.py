@@ -43,6 +43,15 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def target_view_indices(n_views: int, targets_per_object: int) -> List[int]:
+    """Target views spread over the ring for source view 0 (e.g. 2, 4, 6 of
+    8). The SINGLE definition of the eval pair construction — paired_compare
+    rebuilds ground-truth rows against saved gen stacks with this, so the two
+    can never silently mis-align (shapes match either way)."""
+    stride = max(1, n_views // (targets_per_object + 1))
+    return [min(k * stride, n_views - 1) for k in range(1, targets_per_object + 1)]
+
+
 def load_view(zp: str, view: int, size: int):
     """(image [-1,1] float32 (H,W,3), camera (4,4)) from a corpus zip."""
     from PIL import Image
@@ -227,6 +236,10 @@ def main(argv: Optional[Sequence[str]] = None):
     )
     ap.add_argument("--platform", default=None, help="e.g. cpu to force off-TPU")
     args = ap.parse_args(argv)
+    if args.save_gen and not args.out:
+        raise SystemExit("--save-gen requires --out (gen stacks are written "
+                         "under <out>/gen/) — refusing to run an eval whose "
+                         "requested artifacts would be silently dropped")
 
     if args.platform:
         import jax
@@ -243,10 +256,7 @@ def main(argv: Optional[Sequence[str]] = None):
     pairs = []
     for zp in files:
         src_img, src_cam, prompt, n_views = load_view(zp, 0, args.image_size)
-        # spread target views over the ring (e.g. views 2, 4, 6 of 8)
-        stride = max(1, n_views // (args.targets_per_object + 1))
-        for k in range(1, args.targets_per_object + 1):
-            v = min(k * stride, n_views - 1)
+        for v in target_view_indices(n_views, args.targets_per_object):
             tgt_img, tgt_cam, _, _ = load_view(zp, v, args.image_size)
             pairs.append(
                 {

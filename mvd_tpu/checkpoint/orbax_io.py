@@ -125,7 +125,8 @@ class CheckpointManager:
         preservation-policy config no longer sets — rank from the saved
         per-step metrics instead.)"""
         best, best_v = None, float("-inf")
-        for s in self._mgr.all_steps():
+        steps = list(self._mgr.all_steps())
+        for s in steps:
             f = os.path.join(self.directory, str(s), "metrics", "metrics")
             try:
                 with open(f) as fh:
@@ -134,6 +135,16 @@ class CheckpointManager:
                 continue
             if v > best_v:
                 best, best_v = s, v
+        if best is None and steps:
+            # the on-disk layout assumption above (<step>/metrics/metrics,
+            # orbax 0.11.x) may have changed across an orbax upgrade — fail
+            # LOUDLY instead of silently reporting "no best checkpoint"
+            logger.warning(
+                "best_step: %d checkpoints under %s but no per-step metrics "
+                "file parsed (saved without metrics, or the orbax on-disk "
+                "metrics layout changed) — returning None",
+                len(steps), self.directory,
+            )
         return best
 
     def restore(self, state_template, step: Optional[int] = None):

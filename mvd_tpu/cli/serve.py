@@ -11,10 +11,14 @@ POST /generate   {"prompt": str, "num_views": int, "num_steps": int,
                   "source_camera": [[...4x4]]?, "target_cameras": [[...]]?,
                   "sampler": "ddpm"|"ddim"|"dpmpp_2m"?, "encoder_reuse": int?}
     -> {"images_b64": [png...], "latency_s": float}
-GET /healthz     -> {"ok": true, "backend": "...", "compiled_signatures": N}
+GET /healthz     -> {"ok": true, "backend": "...", "compiled_signatures": N,
+                     "queue_depth": M}
 
 Requests serialize through a lock (one TPU program at a time); shapes reuse
 the pipeline's jit cache, so repeated signatures run at steady-state speed.
+``queue_depth`` counts requests currently running or waiting for the chip;
+a request that waits longer than ``--request-timeout`` for its turn is
+rejected with 503 instead of piling onto an unbounded queue.
 """
 
 from __future__ import annotations
@@ -47,8 +51,14 @@ def _b64_png(data: str, size: int) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
-def make_handler(pipe, size: int, lock: threading.Lock):
+def make_handler(pipe, size: int, lock: threading.Lock,
+                 request_timeout: float = 300.0):
     from ..camera import orbit_cameras
+
+    # requests running or waiting for the accelerator lock (served by
+    # ThreadingHTTPServer's per-connection threads)
+    depth = {"n": 0}
+    depth_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload):
@@ -72,6 +82,7 @@ def make_handler(pipe, size: int, lock: threading.Lock):
                         "ok": True,
                         "backend": jax.default_backend(),
                         "compiled_signatures": len(pipe._jit_cache),
+                        "queue_depth": depth["n"],
                     },
                 )
             else:
@@ -98,22 +109,42 @@ def make_handler(pipe, size: int, lock: threading.Lock):
                 if req.get("source_image_b64"):
                     src_img = _b64_png(req["source_image_b64"], size)[None]
                 t0 = time.perf_counter()
-                with lock:
-                    out = pipe(
-                        [req.get("prompt", "")] * num_views,
-                        num_inference_steps=int(req.get("num_steps", 20)),
-                        guidance_scale=float(req.get("guidance_scale", 1.0)),
-                        negative_prompt=req.get("negative_prompt"),
-                        height=size,
-                        width=size,
-                        source_camera=np.tile(src_cam[None], (num_views, 1, 1)),
-                        target_camera=tgt,
-                        source_images=src_img,
-                        ref_scale=float(req.get("ref_scale", 1.0)),
-                        seed=int(req.get("seed", 0)),
-                        sampler=req.get("sampler"),
-                        encoder_reuse=int(req.get("encoder_reuse", 1)),
-                    )
+                with depth_lock:
+                    depth["n"] += 1
+                try:
+                    # bounded wait for the accelerator: shed load with 503
+                    # instead of queueing unboundedly behind long generations
+                    if not lock.acquire(timeout=request_timeout):
+                        self._json(
+                            503,
+                            {
+                                "error": "timed out waiting for the "
+                                f"accelerator ({request_timeout:g}s)",
+                                "queue_depth": depth["n"],
+                            },
+                        )
+                        return
+                    try:
+                        out = pipe(
+                            [req.get("prompt", "")] * num_views,
+                            num_inference_steps=int(req.get("num_steps", 20)),
+                            guidance_scale=float(req.get("guidance_scale", 1.0)),
+                            negative_prompt=req.get("negative_prompt"),
+                            height=size,
+                            width=size,
+                            source_camera=np.tile(src_cam[None], (num_views, 1, 1)),
+                            target_camera=tgt,
+                            source_images=src_img,
+                            ref_scale=float(req.get("ref_scale", 1.0)),
+                            seed=int(req.get("seed", 0)),
+                            sampler=req.get("sampler"),
+                            encoder_reuse=int(req.get("encoder_reuse", 1)),
+                        )
+                    finally:
+                        lock.release()
+                finally:
+                    with depth_lock:
+                        depth["n"] -= 1
                 images = np.asarray(out["images"])
                 self._json(
                     200,
@@ -139,6 +170,9 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--warmup", action="store_true", help="compile 1-view path at boot")
+    p.add_argument("--request-timeout", type=float, default=300.0,
+                   help="max seconds a request may wait for the accelerator "
+                        "before being shed with 503")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -172,7 +206,8 @@ def main(argv=None):
 
     lock = threading.Lock()
     server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(pipe, size, lock)
+        (args.host, args.port),
+        make_handler(pipe, size, lock, request_timeout=args.request_timeout),
     )
     print(f"serving on http://{args.host}:{args.port} (size={size})")
     server.serve_forever()

@@ -8,8 +8,16 @@ import os
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Validation metric sweep")
-    p.add_argument("--config", type=str, default=None)
-    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--config", type=str, default=None,
+                   help="training YAML; the model is built with its "
+                        "arch/scheduler/conditioning settings (flagship "
+                        "SD2.1 shape when omitted)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Lightning .ckpt, a save_params dir, or a Trainer "
+                        "run dir (checkpoints/ restored at the latest step)")
+    p.add_argument("--vae-params", type=str, default=None,
+                   help="save_params dir holding a pretrained 'vae' "
+                        "partition (e.g. tools/pretrain_vae.py output)")
     p.add_argument("--dataset-path", type=str, default=None)
     p.add_argument("--output-dir", type=str, default="outputs/validation")
     p.add_argument("--num-samples", type=int, default=None)
@@ -34,6 +42,46 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _is_run_dir(path: str) -> bool:
+    """A Trainer run dir / checkpoints dir / orbax step dir (vs a flat
+    save_params dir, which holds ocdbt manifests rather than step dirs)."""
+    if not os.path.isdir(path):
+        return False
+    base = os.path.basename(os.path.abspath(path).rstrip(os.sep))
+    if os.path.isdir(os.path.join(path, "checkpoints")):
+        return True
+    return base == "checkpoints" or base.isdigit() or any(
+        e.isdigit() and os.path.isdir(os.path.join(path, e))
+        for e in os.listdir(path)
+    )
+
+
+def _restore_run_dir(train_cfg, pipe, path: str) -> int:
+    """Restore the trained 'mvd' partition from a Trainer run dir
+    (benchmarks/view_synthesis_eval.py restore_run semantics)."""
+    from ..checkpoint import CheckpointManager, resolve_resume_path
+    from ..config import TrainConfig
+    from ..train import TrainState, make_optimizer
+
+    cfg = train_cfg or TrainConfig()
+    ckpt_dir, step = resolve_resume_path(path)
+    tx = make_optimizer(
+        cfg.optimizer,
+        pipe.params["mvd"],
+        total_steps=max(1, cfg.max_steps or 1000),
+        train_denoising_unet=cfg.train_denoising_unet,
+        grad_accum_steps=cfg.grad_accum_steps,
+    )
+    template = TrainState.create(pipe.params["mvd"], tx)
+    mgr = CheckpointManager(ckpt_dir)
+    state, _ = mgr.restore(template, step)
+    mgr.close()
+    if state is None:
+        raise SystemExit(f"no checkpoint found under {path}")
+    pipe.params = {**pipe.params, "mvd": state.params}
+    return int(state.step)
+
+
 def main(argv=None):
     from . import apply_platform_env
 
@@ -52,19 +100,41 @@ def main(argv=None):
     from ..metrics.harness import run_validation
     from ..pipeline import MVDPipeline
 
-    cfg = TINY_MODEL if args.tiny else ModelConfig()
-    size = cfg.unet.sample_size * 8 if args.tiny else args.image_size
+    train_cfg = None
+    if args.config:
+        # honor the YAML's architecture/scheduler/conditioning — --config
+        # used to be parsed but never read, exactly the dead-knob class
+        # this framework makes real (reference mvd_unet.py:401 vs 420-421)
+        from ..config import train_config_from_yaml
+
+        train_cfg = train_config_from_yaml(args.config)
+        cfg = train_cfg.model
+        size = args.image_size if args.image_size != 768 else train_cfg.image_size
+    elif args.tiny:
+        cfg = TINY_MODEL
+        size = cfg.unet.sample_size * 8
+    else:
+        cfg = ModelConfig()
+        size = args.image_size
     if not args.tiny:
         unet = dataclasses.replace(cfg.unet, sample_size=size // 8, remat=False)
         cfg = dataclasses.replace(cfg, unet=unet)
 
     pipe = MVDPipeline.create(cfg, jax.random.PRNGKey(0))
+    if args.vae_params:
+        from ..checkpoint import load_params
+
+        loaded = load_params(args.vae_params)
+        pipe.params = {**pipe.params, "vae": loaded["vae"]}
     if args.checkpoint:
         if args.checkpoint.endswith(".ckpt"):
             from ..checkpoint import convert_lightning_checkpoint
 
             mvd_params, _ = convert_lightning_checkpoint(args.checkpoint)
             pipe.params = {**pipe.params, "mvd": mvd_params}
+        elif _is_run_dir(args.checkpoint):
+            step = _restore_run_dir(train_cfg, pipe, args.checkpoint)
+            print(f"restored run checkpoint at step {step}")
         else:
             from ..checkpoint import load_params
 

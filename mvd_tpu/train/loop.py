@@ -304,7 +304,17 @@ class Trainer:
                 # in-loop metric a checkpoint carries is otherwise always one
                 # val stale, which skews the top-k ranking)
                 if val_every and step % val_every == 0:
-                    last_val = self.validate(epoch, rng)
+                    # a crash/OOM inside the (generation-including) validate
+                    # pass at a checkpoint boundary must not also lose the
+                    # step's checkpoint — fall back to the previous val's
+                    # metrics and keep going to the save below
+                    try:
+                        last_val = self.validate(epoch, rng)
+                    except Exception:
+                        logger.exception(
+                            "in-loop validation failed at step %d; saving "
+                            "with the previous validation's metrics", step,
+                        )
                 if step % self.cfg.checkpoint_every_steps == 0:
                     if self.ckpt.save(
                         step,

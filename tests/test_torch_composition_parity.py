@@ -23,6 +23,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -31,7 +32,7 @@ from mvd_tpu.checkpoint.torch_convert import (
     convert_unet_state_dict,
     convert_vae_state_dict,
 )
-from mvd_tpu.config import TINY_UNET, TINY_VAE
+from mvd_tpu.config import TINY_UNET, TINY_VAE, UNetConfig, VAEConfig
 from tests.test_torch_layer_parity import (
     TUNet,
     TVAEAttention,
@@ -359,3 +360,197 @@ def test_full_denoise_step_parity():
     got = step(tree, latj, jnp.asarray(t.numpy()), jnp.asarray(ctx.numpy()))
     db = snr_db(want.permute(0, 2, 3, 1).numpy(), np.asarray(got))
     assert db >= 60, f"denoise step parity {db:.1f} dB < 60"
+
+
+# ---------------------------------------------------------------------------
+# (d) FULL SD2.1 WIDTH at reduced spatial (VERDICT r4 'next' #2)
+# ---------------------------------------------------------------------------
+#
+# Tiny-width parity (>=60 dB above) does not transfer: head mapping at heads
+# 5-20, 1024-dim cross-attention context, and 32-group GroupNorm over
+# 320/640/1280 channels are all width-dependent converter territory (the VAE
+# GroupNorm-eps bug was exactly this class and was only caught by parity).
+# These run the REAL SD2.1 widths — block_out_channels (320, 640, 1280,
+# 1280), heads (5, 10, 20, 20), cross_attention_dim 1024 — at 16² latents
+# (the MULTICHIP_FLAGSHIP spatial-reduction trick) so the whole thing is
+# CPU-runnable. Marked slow: ~1 GB of torch weights + a full-width XLA
+# compile per test.
+
+SD21_WIDTH_UNET = UNetConfig(sample_size=16, remat=False, attention_impl="xla")
+
+
+def _assert_same_shapes(converted, init_params):
+    from flax.traverse_util import flatten_dict
+
+    a = flatten_dict(converted)
+    b = flatten_dict(init_params)
+    assert set(a) == set(b)
+    bad = {
+        k: (np.shape(a[k]), tuple(getattr(b[k], "shape", ())))
+        for k in a
+        if tuple(np.shape(a[k])) != tuple(getattr(b[k], "shape", ()))
+    }
+    assert not bad, f"converted leaf shapes != init shapes: {bad}"
+
+
+@pytest.mark.slow
+def test_full_unet_adapters_film_parity_sd21_width():
+    """Full-SD2.1-width UNet with an adapter at EVERY attention site plus
+    FiLM at every block boundary, through convert_unet_state_dict, >=60 dB
+    f32 (reference load semantics at real width: infer.py:46-74, adapter
+    dims attention.py:199-245)."""
+    from mvd_tpu.nn.unet import UNet2DCondition
+
+    cfg = dataclasses.replace(SD21_WIDTH_UNET, with_adapters=True)
+    ctx_dim = cfg.cross_attention_dim
+    torch.manual_seed(7)
+    tm = TUNet(cfg, ctx_dim, with_adapters=True).eval()
+    B, hw = 1, cfg.sample_size
+    rng = np.random.default_rng(7)
+    x = torch.randn(B, cfg.in_channels, hw, hw)
+    t = torch.tensor([617])
+    ctx = torch.randn(B, 7, ctx_dim)
+    ref_scale = 0.3
+
+    refs_np = {
+        name: rng.normal(size=(B, s * s, c)).astype(np.float32)
+        for name, s, c in _site_shapes(cfg, hw)
+    }
+    film_np = {"output": (
+        1 + 0.1 * rng.normal(size=(B, cfg.in_channels)).astype(np.float32),
+        0.1 * rng.normal(size=(B, cfg.in_channels)).astype(np.float32),
+    )}
+    ch = cfg.block_out_channels
+    rev = list(reversed(ch))
+    for i in range(len(cfg.down_block_types)):
+        film_np[f"down_{i}"] = (
+            1 + 0.1 * rng.normal(size=(B, ch[i])).astype(np.float32),
+            0.1 * rng.normal(size=(B, ch[i])).astype(np.float32),
+        )
+    film_np["mid"] = (
+        1 + 0.1 * rng.normal(size=(B, ch[-1])).astype(np.float32),
+        0.1 * rng.normal(size=(B, ch[-1])).astype(np.float32),
+    )
+    for i in range(len(cfg.up_block_types)):
+        film_np[f"up_{i}"] = (
+            1 + 0.1 * rng.normal(size=(B, rev[i])).astype(np.float32),
+            0.1 * rng.normal(size=(B, rev[i])).astype(np.float32),
+        )
+
+    t_refs = {k: torch.from_numpy(v) for k, v in refs_np.items()}
+    t_film = {
+        k: (torch.from_numpy(s), torch.from_numpy(sh))
+        for k, (s, sh) in film_np.items()
+    }
+    with torch.no_grad():
+        want = tm(x, t, ctx, t_refs, ref_scale, t_film).permute(0, 2, 3, 1).numpy()
+
+    tree, skipped = convert_unet_state_dict(to_np_sd(tm))
+    assert not skipped
+
+    fm = UNet2DCondition(cfg)
+    xj = jnp.asarray(x.permute(0, 2, 3, 1).numpy())
+    tj = jnp.asarray(t.numpy())
+    cj = jnp.asarray(ctx.numpy())
+    j_refs = {k: jnp.asarray(v) for k, v in refs_np.items()}
+    j_film = {k: (jnp.asarray(s), jnp.asarray(sh)) for k, (s, sh) in film_np.items()}
+    # eval_shape: full-width init materialization is pointless — only the
+    # tree structure + leaf shapes are being checked against the converter
+    init = jax.eval_shape(
+        fm.init, jax.random.PRNGKey(0), xj, tj, cj, ref_features=j_refs,
+        film=j_film, ref_scale=jnp.float32(ref_scale),
+    )["params"]
+    assert_same_structure(tree, init)
+    _assert_same_shapes(tree, init)
+
+    @jax.jit
+    def fwd(params, xj, tj, cj, j_refs, j_film):
+        out, _ = fm.apply(
+            {"params": params}, xj, tj, cj, ref_features=j_refs,
+            film=j_film, ref_scale=jnp.float32(ref_scale),
+        )
+        return out
+
+    got = fwd(tree, xj, tj, cj, j_refs, j_film)
+    db = snr_db(want, np.asarray(got))
+    assert db >= 60, f"SD2.1-width UNet (adapters+FiLM) parity {db:.1f} dB < 60"
+
+
+@pytest.mark.slow
+def test_full_vae_parity_sd21_width():
+    """Full-width SD VAE (128-512ch, 32 groups): encode moments, decode,
+    >=60 dB f32 through convert_vae_state_dict."""
+    from mvd_tpu.nn.vae import AutoencoderKL
+
+    cfg = VAEConfig(sample_size=64)
+    torch.manual_seed(8)
+    tm = TAutoencoderKL(cfg).eval()
+    B, hw = 1, 64
+    x = torch.randn(B, cfg.in_channels, hw, hw).clamp(-1, 1)
+    with torch.no_grad():
+        t_mean, t_logvar = tm.encode_moments(x)
+        t_dec = tm.decode(t_mean)
+    nhwc = lambda t: t.permute(0, 2, 3, 1).numpy()
+
+    tree = convert_vae_state_dict(to_np_sd(tm))
+    fm = AutoencoderKL(cfg)
+    xj = jnp.asarray(nhwc(x))
+    init = jax.eval_shape(fm.init, jax.random.PRNGKey(0), xj)["params"]
+    assert_same_structure(tree, init)
+    _assert_same_shapes(tree, init)
+
+    j_mean, j_logvar = jax.jit(
+        lambda p, x: fm.apply({"params": p}, x, method=fm.encode_moments)
+    )(tree, xj)
+    db_m = snr_db(nhwc(t_mean), np.asarray(j_mean))
+    db_lv = snr_db(nhwc(t_logvar), np.asarray(j_logvar))
+    assert db_m >= 60, f"SD-width VAE encode mean parity {db_m:.1f} dB < 60"
+    assert db_lv >= 60, f"SD-width VAE encode logvar parity {db_lv:.1f} dB < 60"
+
+    j_dec = jax.jit(
+        lambda p, z: fm.apply({"params": p}, z, method=fm.decode)
+    )(tree, j_mean)
+    db_d = snr_db(nhwc(t_dec), np.asarray(j_dec))
+    assert db_d >= 60, f"SD-width VAE decode parity {db_d:.1f} dB < 60"
+
+
+@pytest.mark.slow
+def test_full_denoise_step_parity_sd21_width():
+    """One full denoise step (v-pred DDIM) at SD2.1 width: latents -> UNet
+    -> scheduler update, torch vs jitted JAX, >=60 dB on the post-step
+    latents (reference pipeline.py:140-161 composition at real width)."""
+    from mvd_tpu.diffusion.schedules import NoiseSchedule, ddim_step
+    from mvd_tpu.nn.unet import UNet2DCondition
+
+    cfg = dataclasses.replace(SD21_WIDTH_UNET, with_adapters=False)
+    ctx_dim = cfg.cross_attention_dim
+    torch.manual_seed(9)
+    tm = TUNet(cfg, ctx_dim).eval()
+    B, hw = 1, cfg.sample_size
+    lat = torch.randn(B, cfg.in_channels, hw, hw)
+    ctx = torch.randn(B, 7, ctx_dim)
+    num_steps, t_now = 20, 701
+
+    betas = (
+        torch.linspace(0.00085**0.5, 0.012**0.5, 1000, dtype=torch.float64) ** 2
+    ).float()
+    ac = torch.cumprod(1 - betas, dim=0)
+    t = torch.tensor([t_now] * B)
+    with torch.no_grad():
+        v = tm(lat, t, ctx)
+        want = _t_ddim_step_vpred(ac, v, t_now, lat, num_steps)
+
+    tree, skipped = convert_unet_state_dict(to_np_sd(tm))
+    assert not skipped
+    fm = UNet2DCondition(cfg)
+    sched = NoiseSchedule.create(prediction_type="v_prediction")
+
+    @jax.jit
+    def step(params, lat, t, ctx):
+        pred, _ = fm.apply({"params": params}, lat, t, ctx)
+        return ddim_step(sched, pred, t[0], lat, num_steps)
+
+    latj = jnp.asarray(lat.permute(0, 2, 3, 1).numpy())
+    got = step(tree, latj, jnp.asarray(t.numpy()), jnp.asarray(ctx.numpy()))
+    db = snr_db(want.permute(0, 2, 3, 1).numpy(), np.asarray(got))
+    assert db >= 60, f"SD2.1-width denoise step parity {db:.1f} dB < 60"
