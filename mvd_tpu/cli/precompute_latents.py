@@ -22,7 +22,13 @@ import os
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset-path", required=True)
-    p.add_argument("--image-size", type=int, default=768)
+    p.add_argument(
+        "--image-size",
+        type=int,
+        default=None,
+        help="encode resolution (default: the --config YAML's image_size, "
+        "or 768 without --config)",
+    )
     p.add_argument(
         "--out",
         default=None,
@@ -78,9 +84,14 @@ def main(argv=None):
     if args.config:
         from ..config import train_config_from_yaml
 
-        cfg = train_config_from_yaml(args.config).model
+        tc = train_config_from_yaml(args.config)
+        cfg = tc.model
+        if args.image_size is None:
+            args.image_size = tc.image_size
     else:
         cfg = TINY_MODEL if args.tiny else ModelConfig()
+    if args.image_size is None:
+        args.image_size = 768
     import jax.numpy as _jnp
 
     compute_dtype = _jnp.dtype(args.compute_dtype or cfg.dtype)
